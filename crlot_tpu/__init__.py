@@ -1,0 +1,33 @@
+"""crlot-tpu: a TPU-native DSP framework (JAX/XLA/Pallas).
+
+Built from scratch with the capabilities of crlotwhite/crlot-dsp (C++17
+audio-DSP toolkit): framing, windows with COLA normalization, plan-based FFT,
+overlap-add reconstruction, polyphase resampling, WAV I/O — designed TPU-first
+(batched array programs, Pallas kernels for the memory-bound loops, shard_map
+channel/time-block parallelism with halo exchange). See SURVEY.md.
+"""
+
+from .core.types import (
+    BoundaryMode,
+    FftBackend,
+    FftDomain,
+    FftPlanDesc,
+    FrameSpec,
+    NormalizationType,
+    OLAConfig,
+    PadMode,
+    StftConfig,
+    WindowType,
+)
+from .fft.api import FftPlan, make_fft_plan
+from .frame.framing import frame_signal, frame_windowed, num_frames
+from .frame.streaming import Framer
+from .io.wav import WavReader, WavWriter, read_wav, write_wav
+from .metrics import PeakMeter, snr_db, xcorr_delay_ms
+from .ola.reference import overlap_add, overlap_add_normalized
+from .pipeline import istft, round_trip, stft
+from .window.windows import get_window
+
+from . import core, distributed, fft, frame, io, ola, resample, window  # noqa: E402,F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,92 @@
+"""Batch framing: signal -> [num_frames, frame_size] matrix.
+
+Reference: dsp/frame/FrameQueue.{h,cc} (offline AoS framing with centered
+padding) — TPU-first formulation per SURVEY.md §2.4: one gather with index
+matrix `start[i] + j` over the padded signal, which XLA fuses with the window
+multiply and feeds straight into the batched rFFT. No per-frame copies exist.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.padding import pad_signal
+from ..core.types import FrameSpec, PadMode
+
+
+def num_frames(spec: FrameSpec, signal_len: int) -> int:
+    """Frame-count law (reference: FrameQueue.cc:99-115): max n with
+    n*hop + tail <= padded_len, tail = max(frame - hop, 0)."""
+    return spec.num_frames(signal_len)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _frame_gather(padded: jnp.ndarray, spec: FrameSpec) -> jnp.ndarray:
+    n_frames = spec.num_frames(padded.shape[-1] - 2 * spec.pad_amount)
+    starts = jnp.arange(n_frames) * spec.hop_size
+    idx = starts[:, None] + jnp.arange(spec.frame_size)[None, :]
+    return jnp.take(padded, idx, axis=-1)
+
+
+def frame_signal(signal: jnp.ndarray, spec: FrameSpec) -> jnp.ndarray:
+    """Slice `signal[..., L]` into `[..., num_frames, frame_size]`.
+
+    With `spec.center=True`, pads frame_size//2 on both sides first using
+    `spec.pad_mode` (reference: FrameQueue.cc:68-97). Raises if the (padded)
+    signal yields zero frames, matching the reference's ctor throw on
+    too-short input.
+    """
+    signal = jnp.asarray(signal)
+    length = signal.shape[-1]
+    if spec.num_frames(length) <= 0:
+        raise ValueError(
+            f"signal of length {length} yields no frames for frame_size="
+            f"{spec.frame_size}, hop={spec.hop_size}, center={spec.center}"
+        )
+    padded = pad_signal(
+        signal, spec.pad_amount, spec.pad_amount, spec.pad_mode, spec.pad_value
+    )
+    return _frame_gather(padded, spec)
+
+
+def frame_start_indices(spec: FrameSpec, signal_len: int) -> jnp.ndarray:
+    """Start sample (in the unpadded signal) of each frame; frame i covers
+    `[i*hop - pad, i*hop - pad + frame)`."""
+    n = spec.num_frames(signal_len)
+    return jnp.arange(n) * spec.hop_size - spec.pad_amount
+
+
+def frame_windowed(
+    signal: jnp.ndarray,
+    spec: FrameSpec,
+    window: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Frame and apply the analysis window in one fused op.
+
+    This is the jnp formulation of the reference's hot loop "frame x window"
+    (bench/e2e_benchmark.cc:154-156); XLA fuses the gather and multiply into
+    one pass. A Pallas variant lives in crlot_tpu.ola.kernels.
+    """
+    frames = frame_signal(signal, spec)
+    if window is None:
+        return frames
+    window = jnp.asarray(window, dtype=frames.dtype)
+    if window.shape != (spec.frame_size,):
+        raise ValueError(
+            f"window shape {window.shape} != (frame_size,) = ({spec.frame_size},)"
+        )
+    return frames * window
+
+
+__all__ = [
+    "num_frames",
+    "frame_signal",
+    "frame_windowed",
+    "frame_start_indices",
+    "FrameSpec",
+    "PadMode",
+]

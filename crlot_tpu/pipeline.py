@@ -1,0 +1,88 @@
+"""Single-device STFT / iSTFT / round-trip pipeline.
+
+Reference workload: bench/e2e_benchmark.cc:138-186 (streaming) and
+bench/performance_benchmark.cc:174-246 (offline batch) — the TPU formulation
+is the offline batch shape: all frames as one [F, N] matrix -> one batched
+rFFT -> spectral processing -> one batched irFFT -> one vectorized OLA
+(SURVEY.md §3.5: "the natural batched/TPU formulation").
+
+Single-window discipline (SURVEY.md §7): `stft` applies the analysis window
+exactly once; `istft` divides by the matching COLA norm (sum w, or sum w^2
+when a synthesis window is configured). The reference's double-window bug
+(docs/PHASE0_AUDIT.md BLK-01) cannot be expressed through this API.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core.types import StftConfig
+from .fft import xla_backend as _fft
+from .frame.framing import frame_windowed
+from .ola.norm import edge_norm
+from .ola.reference import normalize, overlap_add
+from .window.windows import get_window
+
+
+@lru_cache(maxsize=None)
+def _window_np(cfg: StftConfig) -> np.ndarray:
+    return get_window(cfg.window, cfg.frame_size, cfg.periodic)
+
+
+@lru_cache(maxsize=None)
+def _norm_np(cfg: StftConfig, num_frames: int, out_len: int) -> np.ndarray:
+    w = _window_np(cfg).astype(np.float64)
+    contrib = w * w if cfg.synthesis_window else w
+    return edge_norm(contrib, cfg.hop_size, num_frames, out_len)
+
+
+def stft(signal: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
+    """`[..., L]` real -> `[..., F, nfft//2+1]` complex spectrogram."""
+    window = jnp.asarray(_window_np(cfg))
+    frames = frame_windowed(signal, cfg.frame_spec, window)
+    return _fft.rfft(frames, cfg.frame_size, do_scrub=False)
+
+
+def istft(
+    spec: jnp.ndarray,
+    cfg: StftConfig,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """`[..., F, nfft//2+1]` complex -> `[..., length]` real reconstruction.
+
+    Default length is the exact span an stft of that many frames covers
+    (minus center padding when cfg.center).
+    """
+    num_frames = spec.shape[-2]
+    frames = _fft.irfft(spec, cfg.frame_size, do_scrub=False)
+    if cfg.synthesis_window:
+        frames = frames * jnp.asarray(_window_np(cfg))
+    pad = cfg.frame_spec.pad_amount
+    full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
+    if length is None:
+        length = full - 2 * pad
+    acc = overlap_add(frames, cfg.hop_size, out_len=full)
+    norm = jnp.asarray(_norm_np(cfg, num_frames, full))
+    out = normalize(acc, norm, cfg.eps)
+    return out[..., pad : pad + length]
+
+
+def round_trip(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    spectral_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """stft -> (spectral processing) -> istft, output same length as input.
+
+    With spectral_fn=None this is the reference's identity round-trip
+    (bench/e2e_benchmark.cc:161-163) and must reconstruct at > 60 dB SNR.
+    """
+    signal = jnp.asarray(signal)
+    spec = stft(signal, cfg)
+    if spectral_fn is not None:
+        spec = spectral_fn(spec)
+    return istft(spec, cfg, length=signal.shape[-1])
