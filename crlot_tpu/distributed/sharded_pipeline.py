@@ -1,0 +1,192 @@
+"""Sharded STFT -> process -> iSTFT -> OLA over a (channel, time) mesh.
+
+The reference is single-process; this is the multi-chip formulation the TPU
+build adds (BASELINE.json north star; SURVEY.md §5/§7): channels shard
+embarrassingly, the time axis shards into hop-aligned blocks with one
+nearest-neighbor `ppermute` in each direction per step:
+
+  1. pull the RIGHT halo (N - H samples) to frame trailing hops,
+  2. frame + window + rFFT + spectral fn + irFFT locally (batched),
+  3. local overlap-add,
+  4. push the (N - H)-sample OLA tail RIGHT; the received left tail is
+     pre-seeded into the local accumulation in earliest-frame-first order,
+     so N-device output is BIT-IDENTICAL to the 1-device pipeline
+     (tested in tests/test_distributed.py).
+
+Constraints (checked): T % n_time == 0, block % hop == 0, block >= frame
+(so halos touch only immediate neighbors), center=False (global centering
+would couple edge devices; center on the host or pad explicitly).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..core.types import StftConfig
+from ..fft import xla_backend as _fft
+from ..ola.norm import edge_norm
+from ..ola.reference import overlap_add
+from ..window.windows import get_window
+from .halo import pull_right_halo, push_right_tail
+from .mesh import CHANNEL_AXIS, TIME_AXIS, auto_mesh, make_mesh
+
+
+def _block_round_trip(
+    x_local: jnp.ndarray,  # [C_local, T_block]
+    norm_local: jnp.ndarray,  # [T_block]
+    window: jnp.ndarray,  # [N]
+    cfg: StftConfig,
+    total_len: int,
+    spectral_fn: Optional[Callable],
+):
+    n, hop = cfg.frame_size, cfg.hop_size
+    halo = n - hop
+    t_block = x_local.shape[-1]
+    frames_per_block = t_block // hop
+
+    # 1. right halo in (overlap-save for framing)
+    right = pull_right_halo(x_local, TIME_AXIS, halo)
+    x_ext = jnp.concatenate([x_local, right], axis=-1)
+
+    # 2. local framing (gather) + window
+    starts = jnp.arange(frames_per_block) * hop
+    idx = starts[:, None] + jnp.arange(n)[None, :]
+    frames = jnp.take(x_ext, idx, axis=-1) * window
+
+    # mask frames that do not exist globally (start + N > total_len): only
+    # the last device can have these (its halo is zeros anyway, but masking
+    # keeps the spectrum exactly equal to the unsharded stft's frame set).
+    t_idx = jax.lax.axis_index(TIME_AXIS)
+    global_start = t_idx * t_block + starts
+    valid = (global_start + n <= total_len)[None, :, None]
+
+    spec = _fft.rfft(frames, n, do_scrub=False)
+    if spectral_fn is not None:
+        spec = spectral_fn(spec)
+    out_frames = _fft.irfft(spec, n, do_scrub=False)
+    if cfg.synthesis_window:
+        out_frames = out_frames * window
+    out_frames = jnp.where(valid, out_frames, 0.0)
+
+    # 3.+4. local OLA with left-tail pre-seed (canonical summation order)
+    acc_ext_len = t_block + halo
+    # First pass without seed to obtain the tail we must ship right:
+    # cheaper: compute full acc_ext once, split tail, then seed head.
+    acc_ext = overlap_add(out_frames, hop, out_len=acc_ext_len)
+    tail = acc_ext[..., t_block:]
+    left_tail = push_right_tail(tail, TIME_AXIS)
+    # Re-run the head accumulation with the seed in front. Seeding after the
+    # fact (acc + left_tail) would change float summation order; instead we
+    # overlap-add again with init_head so order = earlier frames first.
+    acc = overlap_add(
+        out_frames, hop, out_len=t_block, init_head=left_tail
+    )
+
+    # 5. normalize
+    eps = jnp.float32(cfg.eps)
+    return acc / jnp.maximum(norm_local, eps)
+
+
+@lru_cache(maxsize=None)
+def _norm_np(cfg: StftConfig, num_frames: int, out_len: int) -> np.ndarray:
+    w = get_window(cfg.window, cfg.frame_size, cfg.periodic).astype(np.float64)
+    contrib = w * w if cfg.synthesis_window else w
+    return edge_norm(contrib, cfg.hop_size, num_frames, out_len)
+
+
+def sharded_round_trip(
+    x: jnp.ndarray,  # [channels, T]
+    cfg: StftConfig,
+    mesh: Optional[Mesh] = None,
+    spectral_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """Distributed round-trip over a (channel, time) mesh.
+
+    Output is bit-identical to `pipeline.round_trip(x, cfg)` with
+    center=False for the covered span (positions past the last frame get
+    zeros, like the unsharded pipeline).
+    """
+    if mesh is None:
+        mesh = auto_mesh()
+    if cfg.center:
+        raise ValueError(
+            "sharded pipeline requires center=False; pad on the host first"
+        )
+    channels, total_len = x.shape
+    n_ch = mesh.shape[CHANNEL_AXIS]
+    n_time = mesh.shape[TIME_AXIS]
+    n, hop = cfg.frame_size, cfg.hop_size
+    if channels % n_ch != 0:
+        raise ValueError(f"channels ({channels}) % mesh channel ({n_ch}) != 0")
+    if total_len % n_time != 0:
+        raise ValueError(f"T ({total_len}) % mesh time ({n_time}) != 0")
+    t_block = total_len // n_time
+    if t_block % hop != 0:
+        raise ValueError(f"time block ({t_block}) must be hop-aligned ({hop})")
+    if t_block < n:
+        raise ValueError(
+            f"time block ({t_block}) must be >= frame_size ({n}) so halos "
+            "touch only immediate neighbors"
+        )
+
+    num_frames = cfg.frame_spec.num_frames(total_len)
+    norm = jnp.asarray(
+        np.pad(
+            _norm_np(cfg, num_frames, (num_frames - 1) * hop + n),
+            (0, total_len - ((num_frames - 1) * hop + n)),
+        )
+    )
+    window = jnp.asarray(get_window(cfg.window, n, cfg.periodic))
+
+    fn = jax.shard_map(
+        partial(
+            _block_round_trip,
+            window=window,
+            cfg=cfg,
+            total_len=total_len,
+            spectral_fn=spectral_fn,
+        ),
+        mesh=mesh,
+        in_specs=(
+            PartitionSpec(CHANNEL_AXIS, TIME_AXIS),
+            PartitionSpec(TIME_AXIS),
+        ),
+        out_specs=PartitionSpec(CHANNEL_AXIS, TIME_AXIS),
+    )
+    x = jax.device_put(x, NamedSharding(mesh, PartitionSpec(CHANNEL_AXIS, TIME_AXIS)))
+    norm = jax.device_put(norm, NamedSharding(mesh, PartitionSpec(TIME_AXIS)))
+    return fn(x, norm)
+
+
+def sharded_round_trip_jit(cfg: StftConfig, mesh: Mesh, spectral_fn=None):
+    """Jitted closure over (cfg, mesh) for repeated streaming use."""
+
+    def run(x):
+        return sharded_round_trip(x, cfg, mesh, spectral_fn)
+
+    return jax.jit(run)
+
+
+def dryrun(n_devices: int) -> None:
+    """One full sharded step on tiny shapes (driver hook: validates that the
+    multi-chip program compiles and executes on an n-device mesh)."""
+    if n_devices % 2 == 0 and n_devices > 2:
+        mesh = make_mesh(channel=2, time=n_devices // 2)
+    else:
+        mesh = make_mesh(channel=1, time=n_devices)
+    cfg = StftConfig(frame_size=64, hop_size=16, center=False)
+    n_time = mesh.shape[TIME_AXIS]
+    n_ch = mesh.shape[CHANNEL_AXIS]
+    t_block = 128
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2 * n_ch, t_block * n_time)).astype(np.float32)
+    y = sharded_round_trip(jnp.asarray(x), cfg, mesh)
+    y.block_until_ready()
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()

@@ -32,7 +32,9 @@ def overlap_count(frame_size: int, hop: int) -> int:
 
 
 @partial(jax.jit, static_argnums=(1, 2))
-def _overlap_add_impl(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
+def _overlap_add_impl(
+    frames: jnp.ndarray, hop: int, out_len: int, init_head=None
+) -> jnp.ndarray:
     f = frames.shape[-2]
     n = frames.shape[-1]
     r_count = overlap_count(n, hop)
@@ -43,6 +45,16 @@ def _overlap_add_impl(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarra
     hops = frames.reshape(*frames.shape[:-1], r_count, hop)
     blocks = f + r_count - 1
     out = jnp.zeros((*frames.shape[:-2], blocks, hop), dtype=frames.dtype)
+    if init_head is not None:
+        # Pre-seed the head with contributions from frames EARLIER than any
+        # local frame (the left neighbor's OLA tail in the sharded pipeline).
+        # Seeding before the loop keeps the per-position summation order
+        # init -> ascending local frames == global left-to-right frame order,
+        # which is what makes N-device output bit-identical to 1-device.
+        h = init_head.shape[-1]
+        out = out.reshape(*out.shape[:-2], blocks * hop).at[..., :h].add(
+            init_head
+        ).reshape(*out.shape[:-2], blocks, hop)
     # r descending => ascending frame index per output position (canonical
     # left-to-right summation order; see module docstring).
     for r in range(r_count - 1, -1, -1):
@@ -52,7 +64,10 @@ def _overlap_add_impl(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarra
 
 
 def overlap_add(
-    frames: jnp.ndarray, hop: int, out_len: Optional[int] = None
+    frames: jnp.ndarray,
+    hop: int,
+    out_len: Optional[int] = None,
+    init_head: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Overlap-add `frames[..., F, N]` at spacing `hop` -> `[..., out_len]`.
 
@@ -60,6 +75,10 @@ def overlap_add(
     caller's job (compose with `frame_windowed` or multiply first) — this op
     is the pure accumulation, the analog of looping `add_frame_SoA` with
     `apply_window_inside=false` (OLAAccumulator.cc:81-111).
+
+    `init_head[..., h]` (h <= out_len) pre-seeds the first h output samples
+    BEFORE any frame is accumulated — used by the sharded pipeline to add the
+    left neighbor's OLA tail in canonical (earliest-first) order.
     """
     frames = jnp.asarray(frames)
     if frames.ndim < 2:
@@ -74,10 +93,10 @@ def overlap_add(
         raise ValueError(f"out_len must be > 0, got {out_len}")
     if out_len > full:
         # Pad result with zeros beyond the covered span.
-        y = _overlap_add_impl(frames, hop, full)
+        y = _overlap_add_impl(frames, hop, full, init_head)
         widths = [(0, 0)] * (y.ndim - 1) + [(0, out_len - full)]
         return jnp.pad(y, widths)
-    return _overlap_add_impl(frames, hop, out_len)
+    return _overlap_add_impl(frames, hop, out_len, init_head)
 
 
 @partial(jax.jit, static_argnames=("eps",))

@@ -1,0 +1,94 @@
+"""Distributed pipeline tests on an 8-device virtual CPU mesh.
+
+SURVEY.md §4 'Multi-node testing': simulate meshes on CPU and assert
+bit-identical outputs for 1-device vs N-device shardings.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crlot_tpu.core.types import StftConfig
+from crlot_tpu.distributed.mesh import auto_mesh, make_mesh
+from crlot_tpu.distributed.sharded_pipeline import dryrun, sharded_round_trip
+from crlot_tpu.metrics import snr_db
+from crlot_tpu.pipeline import round_trip
+
+
+def _sig(c, t, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, (c, t)).astype(np.float32)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("channel,time", [(1, 8), (2, 4), (4, 2), (8, 1), (1, 4)])
+def test_sharded_matches_single_device_bitexact(channel, time):
+    cfg = StftConfig(frame_size=128, hop_size=32, center=False)
+    mesh = make_mesh(channel=channel, time=time)
+    x = _sig(max(channel, 2), 4096)
+    want = np.asarray(round_trip(jnp.asarray(x), cfg))
+    got = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)  # BIT-identical, not just close
+
+
+def test_sharded_hop_half_overlap():
+    # hop = N/2 (the reference e2e config shape)
+    cfg = StftConfig(frame_size=256, hop_size=128, center=False)
+    mesh = make_mesh(channel=2, time=4)
+    x = _sig(4, 8192, seed=1)
+    want = np.asarray(round_trip(jnp.asarray(x), cfg))
+    got = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_spectral_fn():
+    cfg = StftConfig(frame_size=128, hop_size=32, center=False)
+    mesh = make_mesh(channel=1, time=8)
+    x = _sig(2, 8192, seed=2)
+    f = lambda s: s * 0.25  # noqa: E731
+    want = np.asarray(round_trip(jnp.asarray(x), cfg, spectral_fn=f))
+    got = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh, spectral_fn=f))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_reconstruction_quality():
+    cfg = StftConfig(frame_size=128, hop_size=32, center=False)
+    mesh = auto_mesh()
+    x = _sig(2, 8192, seed=3)
+    y = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh))
+    covered = (cfg.frame_spec.num_frames(8192) - 1) * 32 + 128
+    assert snr_db(x[:, 128:covered - 128], y[:, 128:covered - 128]) > 80
+
+
+def test_sharded_validation():
+    cfg = StftConfig(frame_size=128, hop_size=32, center=False)
+    mesh = make_mesh(channel=2, time=4)
+    with pytest.raises(ValueError):  # channels not divisible
+        sharded_round_trip(jnp.zeros((3, 4096)), cfg, mesh)
+    with pytest.raises(ValueError):  # T not divisible
+        sharded_round_trip(jnp.zeros((2, 4100)), cfg, mesh)
+    with pytest.raises(ValueError):  # block < frame
+        sharded_round_trip(jnp.zeros((2, 256)), cfg, mesh)
+    with pytest.raises(ValueError):  # center unsupported
+        sharded_round_trip(
+            jnp.zeros((2, 4096)),
+            StftConfig(frame_size=128, hop_size=32, center=True),
+            mesh,
+        )
+
+
+def test_mesh_helpers():
+    m = auto_mesh(8)
+    assert m.shape["channel"] * m.shape["time"] == 8
+    with pytest.raises(ValueError):
+        make_mesh(channel=16, time=16)
+
+
+def test_dryrun_hook():
+    dryrun(8)
+    dryrun(3)
