@@ -20,6 +20,44 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 48000 / 0.90e-3  # reference e2e: 0.90 ms / 1 s audio
 
 
+def _timed_chain(fn_one, x, k: int):
+    """Build a jit that runs `fn_one` k times with a data dependency between
+    iterations, returning a scalar. One dispatch + one readback regardless of
+    k, so (t(k2) - t(k1)) / (k2 - k1) isolates pure device time — required
+    on remote-tunneled devices where per-dispatch latency is ~25 ms."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(s):
+        def body(carry, _):
+            y = fn_one(carry)
+            # Feed output back (same length) to serialize iterations.
+            return y, ()
+
+        y, _ = jax.lax.scan(body, s, length=k)
+        return jnp.sum(y)
+
+    return jax.jit(chained)
+
+
+def _measure(fn_one, x, k_small=2, k_big=12, reps=5) -> float:
+    """Median per-iteration device seconds via two chain lengths."""
+    import numpy as np
+
+    def run(k):
+        f = _timed_chain(fn_one, x, k)
+        float(f(x))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(x))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    t_small, t_big = run(k_small), run(k_big)
+    return max((t_big - t_small) / (k_big - k_small), 1e-9)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -35,24 +73,16 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-0.9, 0.9, total).astype(np.float32))
 
-    fn = jax.jit(lambda s: round_trip(s, cfg))
-    y = fn(x)
-    y.block_until_ready()  # compile + warm-up
+    fn_one = lambda s: round_trip(s, cfg)  # noqa: E731
 
     # Correctness gate before timing (the reference shipped a benchmark that
     # was failing its own SNR target; we refuse to report perf on bad audio).
+    y = jax.jit(fn_one)(x)
     snr = snr_db(np.asarray(x), np.asarray(y))
     assert snr > 60.0, f"round-trip SNR {snr:.1f} dB < 60 dB gate"
 
-    reps = 20
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn(x).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    median = sorted(times)[len(times) // 2]
-    samples_per_sec = total / median
+    per_iter = _measure(fn_one, x)
+    samples_per_sec = total / per_iter
 
     print(
         json.dumps(
@@ -62,8 +92,7 @@ def main() -> None:
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
                 "snr_db": round(snr, 1),
-                "median_ms": round(median * 1e3, 3),
-                "best_ms": round(best * 1e3, 3),
+                "device_ms_per_60s_audio": round(per_iter * 1e3, 3),
                 "audio_seconds": seconds,
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0].device_kind),

@@ -14,15 +14,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time(fn, *args, reps=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2]
+def _time(fn, x, reps=5, k_small=2, k_big=12):
+    """Per-call device seconds for `fn(x)`, amortized over a k-length in-jit
+    chain to cancel the remote dispatch+readback latency (~25 ms on the
+    tunnel). A tiny scalar derived from each output perturbs the next input,
+    so XLA cannot hoist the body out of the scan."""
+
+    def chain(k):
+        def chained(s0):
+            def body(s, _):
+                out = fn(x + s)
+                probe = out.reshape(-1)[0]
+                if jnp.iscomplexobj(probe):
+                    probe = probe.real
+                return probe.astype(jnp.float32) * 1e-30, ()
+
+            c, _ = jax.lax.scan(body, s0, length=k)
+            return c
+
+        f = jax.jit(chained)
+        float(f(jnp.float32(0)))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(jnp.float32(0)))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    return max((chain(k_big) - chain(k_small)) / (k_big - k_small), 1e-9)
 
 
 def frame_take(padded, n, hop, f):
@@ -63,25 +82,17 @@ def main(seconds=60, n=1024, hop=256):
     norm = jnp.abs(jnp.asarray(rng.uniform(0.5, 2, total).astype(np.float32)))
 
     results = {}
-    results["frame_take_ms"] = _time(
-        jax.jit(lambda s: frame_take(s, n, hop, f)), x
-    ) * 1e3
+    results["frame_take_ms"] = _time(lambda s: frame_take(s, n, hop, f), x) * 1e3
     results["frame_slices_ms"] = _time(
-        jax.jit(lambda s: frame_slices(s, n, hop, f)), x
+        lambda s: frame_slices(s, n, hop, f), x
     ) * 1e3
-    results["window_mul_ms"] = _time(jax.jit(lambda fr: fr * w), frames) * 1e3
-    results["rfft_ms"] = _time(
-        jax.jit(lambda fr: jnp.fft.rfft(fr, axis=-1)), frames
-    ) * 1e3
+    results["window_mul_ms"] = _time(lambda fr: fr * w, frames) * 1e3
+    results["rfft_ms"] = _time(lambda fr: jnp.fft.rfft(fr, axis=-1), frames) * 1e3
     results["irfft_ms"] = _time(
-        jax.jit(lambda s: jnp.fft.irfft(s, n=n, axis=-1)), spec
+        lambda s: jnp.fft.irfft(s, n=n, axis=-1), spec
     ) * 1e3
-    results["ola_dus_ms"] = _time(
-        jax.jit(lambda fr: ola_dus(fr, hop, total)), frames
-    ) * 1e3
-    results["normalize_ms"] = _time(
-        jax.jit(lambda a: a / jnp.maximum(norm, 1e-8)), x
-    ) * 1e3
+    results["ola_dus_ms"] = _time(lambda fr: ola_dus(fr, hop, total), frames) * 1e3
+    results["normalize_ms"] = _time(lambda a: a / jnp.maximum(norm, 1e-8), x) * 1e3
     results["frames"] = f
     results["backend"] = jax.default_backend()
     print(json.dumps({k: round(v, 3) if isinstance(v, float) else v

@@ -1,0 +1,97 @@
+"""Native C++ runtime vs Python implementation equivalence.
+
+The native codec/framer must be drop-in bit-compatible with the Python path
+(the dual-implementation equivalence pattern of SURVEY.md §4 applied to the
+host runtime).
+"""
+
+import numpy as np
+import pytest
+
+from crlot_tpu.frame.streaming import Framer
+from crlot_tpu.io import native as N
+from crlot_tpu.io.wav import read_wav, write_wav
+
+pytestmark = pytest.mark.skipif(
+    not N.native_available(), reason="native toolchain unavailable"
+)
+
+
+def _sig(n, c=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, (c, n)).astype(np.float32)
+
+
+@pytest.mark.parametrize("bits,float_format", [(16, False), (24, False), (32, False), (32, True)])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_native_matches_python(tmp_path, bits, float_format, channels):
+    x = _sig(4321, channels)
+    p_py = str(tmp_path / "py.wav")
+    p_nat = str(tmp_path / "nat.wav")
+    write_wav(p_py, x, 48000, bits=bits, float_format=float_format)
+    N.write_wav_native(p_nat, x, 48000, bits=bits, float_format=float_format)
+    with open(p_py, "rb") as a, open(p_nat, "rb") as b:
+        assert a.read() == b.read()  # byte-identical files
+    y_py, r1 = read_wav(p_py)
+    y_nat, r2 = N.read_wav_native(p_nat)
+    assert r1 == r2 == 48000
+    np.testing.assert_array_equal(y_py, y_nat)
+
+
+def test_native_reads_reference_asset():
+    import os
+
+    path = "/root/reference/assets/oboe.wav"
+    if not os.path.exists(path):
+        pytest.skip("reference asset not present")
+    a, ra = read_wav(path)
+    b, rb = N.read_wav_native(path)
+    assert ra == rb
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_rejects_garbage(tmp_path):
+    from crlot_tpu.io.wav import WavFormatError
+
+    p = str(tmp_path / "bad.wav")
+    with open(p, "wb") as f:
+        f.write(b"definitely not a wav")
+    with pytest.raises(WavFormatError):
+        N.read_wav_native(p)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3])
+def test_native_framer_matches_python(channels):
+    rng = np.random.default_rng(1)
+    total = 997
+    inter = rng.uniform(-1, 1, total * channels).astype(np.float32)
+    py = Framer(64, 16, channels=channels)
+    nat = N.NativeFramer(64, 16, channels=channels)
+    for chunk in np.array_split(inter.reshape(total, channels), 7):
+        py.push(chunk.reshape(-1))
+        nat.push(chunk.reshape(-1))
+        assert py.available() == nat.available()
+        a = py.pop_batch()
+        b = nat.pop_batch()
+        np.testing.assert_array_equal(a, b)
+    py.flush()
+    nat.flush()
+    np.testing.assert_array_equal(py.pop_batch(), nat.pop_batch())
+
+
+def test_native_framer_zero_pad_tail():
+    nat = N.NativeFramer(8, 4, channels=1)
+    nat.push(np.ones(10, dtype=np.float32))
+    assert nat.available() == 1
+    nat.flush()
+    batch = nat.pop_batch()
+    assert batch.shape[0] == 2
+    # partial frame starts at the read cursor (sample 4): six ones + pad
+    np.testing.assert_array_equal(batch[1, 0], [1, 1, 1, 1, 1, 1, 0, 0])
+
+
+def test_native_framer_push_after_flush():
+    nat = N.NativeFramer(8, 4)
+    nat.flush()
+    with pytest.raises(RuntimeError):
+        nat.push(np.zeros(8, dtype=np.float32))
