@@ -1,0 +1,123 @@
+"""Performance-regression guard with saved baselines and tolerance bands.
+
+Reference: bench/regression_test.cc — runs the benchmark suites, parses the
+timings, compares against a saved `name: time` baseline within a ±10% band
+(±5% for FFT-1024), and `--update-baseline` writes a new one. Same contract
+here over the JSON suite output; the baseline lives at
+crlot_tpu/bench/baseline.json (checked in per machine/backend key).
+
+Run: python -m crlot_tpu.bench.regression [--update-baseline] [--baseline PATH]
+Exit code 0 = within bands, 1 = regression detected.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, Tuple
+
+DEFAULT_BAND = 0.10  # ±10% (regression_test.cc:20)
+FFT1024_BAND = 0.05  # ±5% for the FFT-1024 metric (regression_test.cc:173-175)
+
+_BASELINE_PATH = os.path.join(os.path.dirname(__file__), "baseline.json")
+
+
+def band_for(name: str) -> float:
+    return FFT1024_BAND if "fft" in name and "n1024" in name else DEFAULT_BAND
+
+
+def is_timing_metric(name: str) -> bool:
+    """Only latency-like metrics regress upward; counters (rtf, snr) are
+    checked downward."""
+    return name.endswith(("_us", "_ms", "_ns_per_elem"))
+
+
+def compare(
+    current: Dict[str, float], baseline: Dict[str, float]
+) -> Tuple[bool, list]:
+    report = []
+    ok = True
+    for name, base in baseline.items():
+        if name.startswith("_") or name not in current:
+            continue
+        cur = current[name]
+        if not isinstance(base, (int, float)) or base <= 0:
+            continue
+        band = band_for(name)
+        ratio = cur / base
+        if is_timing_metric(name):
+            passed = ratio <= 1.0 + band
+        elif name.endswith(("_rtf", "_snr_db")):
+            passed = ratio >= 1.0 - band
+        else:
+            continue
+        ok &= passed
+        report.append(
+            {
+                "metric": name,
+                "baseline": base,
+                "current": cur,
+                "ratio": round(ratio, 3),
+                "band": band,
+                "pass": passed,
+            }
+        )
+    return ok, report
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update-baseline", action="store_true")
+    ap.add_argument("--baseline", default=_BASELINE_PATH)
+    ap.add_argument("--suites", default="fft,kernels,ola,e2e")
+    ap.add_argument(
+        "--current", default=None,
+        help="use a pre-recorded suite JSON instead of re-running",
+    )
+    args = ap.parse_args(argv)
+
+    if args.current:
+        with open(args.current) as f:
+            current = json.loads(f.read().strip())
+    else:
+        import io
+        from contextlib import redirect_stdout
+
+        from . import suite
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            suite.main(["--suites", args.suites])
+        current = json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    key = current.get("_backend", "unknown")
+    baselines = {}
+    if os.path.exists(args.baseline):
+        with open(args.baseline) as f:
+            baselines = json.load(f)
+
+    if args.update_baseline:
+        baselines[key] = current
+        with open(args.baseline, "w") as f:
+            json.dump(baselines, f, indent=1, sort_keys=True)
+        print(json.dumps({"updated": args.baseline, "backend": key}))
+        return 0
+
+    if key not in baselines:
+        print(
+            json.dumps(
+                {"error": f"no baseline for backend '{key}'", "hint":
+                 "run with --update-baseline first"}
+            )
+        )
+        return 0  # no baseline yet is not a failure
+
+    ok, report = compare(current, baselines[key])
+    print(json.dumps({"pass": ok, "backend": key, "checks": report}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

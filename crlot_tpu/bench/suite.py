@@ -1,0 +1,116 @@
+"""Benchmark suite: micro FFT, kernels, OLA, e2e — JSON lines per metric.
+
+Reference: bench/ — micro_fft_benchmark (512/1024/2048 single+batch),
+kernels_benchmark (axpy/axpy_windowed/normalize size sweep),
+ola_benchmark (N x hop x channels product), e2e_benchmark (full pipeline with
+SNR/real-time-factor counters). All timings amortize the remote dispatch
+latency by chaining iterations inside one jit (see stages._time).
+
+Run: python -m crlot_tpu.bench.suite [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .stages import _time
+
+
+def bench_fft(results: Dict[str, float]) -> None:
+    rng = np.random.default_rng(0)
+    for nfft in (512, 1024, 2048):
+        for batch in (1, 4, 64):
+            x = jnp.asarray(rng.uniform(-1, 1, (batch, nfft)).astype(np.float32))
+
+            def fwd_inv(v):
+                return jnp.fft.irfft(jnp.fft.rfft(v, axis=-1), n=nfft, axis=-1)
+
+            us = _time(fwd_inv, x) * 1e6
+            results[f"fft_roundtrip_n{nfft}_b{batch}_us"] = round(us, 2)
+
+
+def bench_kernels(results: Dict[str, float]) -> None:
+    from ..ola import kernels as K
+
+    rng = np.random.default_rng(1)
+    for n in (1024, 32768, 1 << 20):
+        dst = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+        src = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+        win = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+        ns = _time(lambda d: K.axpy_windowed(d, src, win, 1.5), dst) * 1e9 / n
+        results[f"kernel_axpy_windowed_n{n}_ns_per_elem"] = round(ns, 4)
+        ns = _time(lambda d: K.normalize_and_clear(d, win)[0], dst) * 1e9 / n
+        results[f"kernel_normalize_n{n}_ns_per_elem"] = round(ns, 4)
+
+
+def bench_ola(results: Dict[str, float]) -> None:
+    from ..ola.reference import overlap_add
+
+    rng = np.random.default_rng(2)
+    for n in (1024, 4096):
+        for ratio in (2, 4):
+            hop = n // ratio
+            f = 48000 * 4 // hop
+            frames = jnp.asarray(
+                rng.uniform(-1, 1, (f, n)).astype(np.float32)
+            )
+            us = _time(lambda fr: overlap_add(fr, hop), frames) * 1e6
+            results[f"ola_n{n}_h{hop}_f{f}_us"] = round(us, 2)
+
+
+def bench_e2e(results: Dict[str, float]) -> None:
+    from ..core.types import StftConfig
+    from ..metrics import snr_db
+    from ..pipeline import round_trip
+
+    sr = 48000
+    for hop in (256, 512):
+        cfg = StftConfig(frame_size=1024, hop_size=hop, center=True)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(-0.9, 0.9, sr).astype(np.float32))
+        y = jax.jit(lambda s: round_trip(s, cfg))(x)
+        snr = snr_db(np.asarray(x), np.asarray(y))
+        sec = _time(lambda s: round_trip(s, cfg), x)
+        results[f"e2e_1s48k_n1024_h{hop}_ms"] = round(sec * 1e3, 3)
+        results[f"e2e_1s48k_n1024_h{hop}_rtf"] = round(1.0 / sec, 1)
+        results[f"e2e_1s48k_n1024_h{hop}_snr_db"] = round(snr, 1)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--suites", default="fft,kernels,ola,e2e",
+        help="comma-separated subset",
+    )
+    args = ap.parse_args(argv)
+    suites = set(args.suites.split(","))
+    results: Dict[str, float] = {}
+    t0 = time.time()
+    if "fft" in suites:
+        bench_fft(results)
+    if "kernels" in suites:
+        bench_kernels(results)
+    if "ola" in suites:
+        bench_ola(results)
+    if "e2e" in suites:
+        bench_e2e(results)
+    results["_backend"] = jax.default_backend()
+    results["_wall_s"] = round(time.time() - t0, 1)
+    line = json.dumps(results)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

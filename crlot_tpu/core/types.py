@@ -77,12 +77,18 @@ class FftDomain(enum.Enum):
 
 
 class FftBackend(enum.Enum):
-    """Which lowering the FFT plan uses (reference has one backend, kissfft,
+    """Which lowering the FFT uses (reference has one backend, kissfft,
     selected by a bazel config_setting `FFT_BACKEND=kissfft`,
     dsp/fft/BUILD.bazel:4-7; here backend choice is a config enum per
-    SURVEY.md §5 'Config / flag system')."""
+    SURVEY.md §5 'Config / flag system').
 
+    XLA = jnp.fft (any N, any device). MATMUL = DFT as an MXU matrix product
+    (TPU-fast for N <= 4096). AUTO picks MATMUL on TPU when N qualifies.
+    """
+
+    AUTO = "auto"
     XLA = "xla"
+    MATMUL = "matmul"
 
 
 @dataclass(frozen=True)
@@ -226,7 +232,7 @@ class StftConfig:
     center: bool = False
     pad_mode: PadMode = PadMode.REFLECT
     eps: float = 1e-8
-    fft_backend: FftBackend = FftBackend.XLA
+    fft_backend: FftBackend = FftBackend.AUTO
 
     def __post_init__(self) -> None:
         if self.frame_size <= 0 or self.frame_size % 2 != 0:

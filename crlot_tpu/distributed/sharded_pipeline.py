@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..core.types import StftConfig
-from ..fft import xla_backend as _fft
+from ..fft import dispatch as _fft
 from ..ola.norm import edge_norm
 from ..ola.reference import overlap_add
 from ..window.windows import get_window
@@ -66,10 +66,10 @@ def _block_round_trip(
     global_start = t_idx * t_block + starts
     valid = (global_start + n <= total_len)[None, :, None]
 
-    spec = _fft.rfft(frames, n, do_scrub=False)
+    spec = _fft.rfft(frames, n, backend=cfg.fft_backend)
     if spectral_fn is not None:
         spec = spectral_fn(spec)
-    out_frames = _fft.irfft(spec, n, do_scrub=False)
+    out_frames = _fft.irfft(spec, n, backend=cfg.fft_backend)
     if cfg.synthesis_window:
         out_frames = out_frames * window
     out_frames = jnp.where(valid, out_frames, 0.0)

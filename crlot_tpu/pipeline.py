@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core.types import StftConfig
-from .fft import xla_backend as _fft
+from .fft import dispatch as _fft
 from .frame.framing import frame_windowed
 from .ola.norm import edge_norm
 from .ola.reference import normalize, overlap_add
@@ -44,7 +44,7 @@ def stft(signal: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
     """`[..., L]` real -> `[..., F, nfft//2+1]` complex spectrogram."""
     window = jnp.asarray(_window_np(cfg))
     frames = frame_windowed(signal, cfg.frame_spec, window)
-    return _fft.rfft(frames, cfg.frame_size, do_scrub=False)
+    return _fft.rfft(frames, cfg.frame_size, backend=cfg.fft_backend)
 
 
 def istft(
@@ -58,7 +58,7 @@ def istft(
     (minus center padding when cfg.center).
     """
     num_frames = spec.shape[-2]
-    frames = _fft.irfft(spec, cfg.frame_size, do_scrub=False)
+    frames = _fft.irfft(spec, cfg.frame_size, backend=cfg.fft_backend)
     if cfg.synthesis_window:
         frames = frames * jnp.asarray(_window_np(cfg))
     pad = cfg.frame_spec.pad_amount

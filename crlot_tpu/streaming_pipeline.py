@@ -1,0 +1,106 @@
+"""Bounded-memory streaming round-trip: lax.scan over hop blocks.
+
+SURVEY.md §5 'Long-context': unbounded-length streams with bounded state —
+the reference's Framer compacting buffer + OLA ring (framer.cc:169-179,
+OLAAccumulator.cc:249-258) become a `lax.scan` whose carry is the ring pytree.
+One scan step consumes `block_frames` new frames and emits `block_frames*hop`
+finished samples; per-chip memory stays O(ring + block) regardless of stream
+length, and the whole stream is ONE device program (no per-frame dispatch).
+
+This is the single-device analog of the time-block sharded pipeline; for
+multi-chip, shard the scan's frame batches by channel (distributed module).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.types import StftConfig
+from .fft import dispatch as _fft
+from .ola.norm import build_norm_linear
+from .window.windows import get_window
+
+
+@partial(jax.jit, static_argnames=("cfg", "block_frames"))
+def streaming_round_trip_blocks(
+    frame_blocks: jnp.ndarray,  # [num_blocks, block_frames, N] raw frames
+    cfg: StftConfig,
+    block_frames: int,
+) -> jnp.ndarray:
+    """Process framed blocks through window->rFFT->irFFT->OLA with a carried
+    ring; returns [num_blocks * block_frames * hop] samples (steady-state
+    normalized; the first frame's leading hop is emitted on the first step).
+
+    The carry is the overlap tail: after OLA-ing a block spanning
+    block_frames*hop + (N - hop) samples, the last (N - hop) stay in the
+    carry and seed the next block (earliest-frame-first order, so output is
+    bit-identical to the offline pipeline's interior).
+    """
+    n, hop = cfg.frame_size, cfg.hop_size
+    halo = n - hop
+    window_np = get_window(cfg.window, n, cfg.periodic)
+    window = jnp.asarray(window_np)
+    norm_np = build_norm_linear(
+        window_np.astype(np.float64) ** 2 if cfg.synthesis_window else window_np,
+        -(-halo // hop) * hop + block_frames * hop,
+        n,
+        hop,
+    )
+    block_len = block_frames * hop
+    norm = jnp.asarray(norm_np[:block_len])
+    eps = jnp.float32(cfg.eps)
+
+    from .ola.reference import overlap_add
+
+    def step(carry_tail, frames):
+        # frames: [block_frames, N]
+        wf = frames * window
+        spec = _fft.rfft(wf, n, backend=cfg.fft_backend)
+        out_f = _fft.irfft(spec, n, backend=cfg.fft_backend)
+        if cfg.synthesis_window:
+            out_f = out_f * window
+        acc = overlap_add(
+            out_f, hop, out_len=block_len + halo,
+            init_head=carry_tail,
+        )
+        emitted = acc[..., :block_len] / jnp.maximum(norm, eps)
+        new_tail = acc[..., block_len:]
+        return new_tail, emitted
+
+    init_tail = jnp.zeros(frame_blocks.shape[2:-1] + (halo,), dtype=jnp.float32)
+    _, blocks_out = jax.lax.scan(step, init_tail, frame_blocks)
+    return blocks_out.reshape(-1)
+
+
+def streaming_round_trip(
+    signal: np.ndarray,
+    cfg: StftConfig,
+    block_frames: int = 64,
+) -> Tuple[np.ndarray, int]:
+    """Stream a long 1-D signal through the scan pipeline.
+
+    Returns (output, valid_from): output[t] reconstructs signal[t] for
+    t >= valid_from (the first `halo` samples lack full window coverage in
+    steady-state normalization, like the reference's streaming OLA warm-up).
+    """
+    if cfg.center:
+        raise ValueError("streaming pipeline is uncentered (center=False)")
+    n, hop = cfg.frame_size, cfg.hop_size
+    x = np.asarray(signal, dtype=np.float32)
+    num_frames = max((len(x) - (n - hop)) // hop, 0)
+    blocks = num_frames // block_frames
+    if blocks == 0:
+        raise ValueError(
+            f"signal too short: {len(x)} samples < "
+            f"{block_frames * hop + (n - hop)} needed for one block"
+        )
+    f = blocks * block_frames
+    idx = np.arange(f)[:, None] * hop + np.arange(n)[None, :]
+    frames = jnp.asarray(x[idx].reshape(blocks, block_frames, n))
+    out = np.asarray(streaming_round_trip_blocks(frames, cfg, block_frames))
+    return out, n - hop

@@ -1,0 +1,83 @@
+"""Matmul-DFT backend vs XLA FFT equivalence (tiered RMSE gates)."""
+
+import numpy as np
+import pytest
+
+from crlot_tpu.fft.matmul_backend import irfft_matmul, rfft_matmul
+
+SIZES = [256, 512, 1024, 2048, 4096]
+
+
+@pytest.mark.parametrize("nfft", SIZES)
+def test_rfft_matches_xla(nfft):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (4, nfft)).astype(np.float32)
+    got = np.asarray(rfft_matmul(jnp.asarray(x), nfft))
+    want = np.fft.rfft(x.astype(np.float64), axis=-1)
+    err = np.sqrt(np.mean(np.abs(got - want) ** 2)) / np.sqrt(nfft)
+    assert err < 1e-5, f"N={nfft}: rfft err {err}"
+
+
+@pytest.mark.parametrize("nfft", SIZES)
+def test_round_trip_rmse(nfft):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (4, nfft)).astype(np.float32)
+    y = np.asarray(irfft_matmul(rfft_matmul(jnp.asarray(x), nfft), nfft))
+    rmse = np.sqrt(np.mean((x - y) ** 2))
+    # Reference tiering: target 1e-6, hard gate 1e-5 (fft_test.cc:76-82).
+    assert rmse < 1e-5, f"N={nfft}: rmse {rmse}"
+
+
+def test_tone_bin():
+    import jax.numpy as jnp
+
+    nfft, k, amp = 1024, 7, 0.5
+    t = np.arange(nfft)
+    x = (amp * np.cos(2 * np.pi * k * t / nfft)).astype(np.float32)
+    spec = np.asarray(rfft_matmul(jnp.asarray(x), nfft))
+    assert abs(spec[k]) == pytest.approx(amp * nfft / 2, rel=1e-4)
+
+
+def test_dispatch_auto_on_cpu_uses_xla():
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.types import FftBackend
+    from crlot_tpu.fft.dispatch import rfft
+
+    x = jnp.ones((2, 512))
+    a = np.asarray(rfft(x, 512, FftBackend.AUTO))
+    b = np.asarray(jnp.fft.rfft(x, axis=-1))
+    np.testing.assert_array_equal(a, b)  # AUTO == XLA off-TPU
+
+
+def test_dispatch_matmul_forced():
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.types import FftBackend
+    from crlot_tpu.fft.dispatch import irfft, rfft
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-1, 1, (3, 1024)).astype(np.float32))
+    y = np.asarray(
+        irfft(rfft(x, 1024, FftBackend.MATMUL), 1024, FftBackend.MATMUL)
+    )
+    assert np.sqrt(np.mean((np.asarray(x) - y) ** 2)) < 1e-5
+
+
+def test_pipeline_matmul_backend_snr():
+    from crlot_tpu.core.types import FftBackend, StftConfig
+    from crlot_tpu.metrics import snr_db
+    from crlot_tpu.pipeline import round_trip
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-0.9, 0.9, 48000).astype(np.float32)
+    cfg = StftConfig(
+        frame_size=1024, hop_size=256, center=True,
+        fft_backend=FftBackend.MATMUL,
+    )
+    y = np.asarray(round_trip(x, cfg))
+    assert snr_db(x, y) > 90.0

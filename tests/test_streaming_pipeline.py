@@ -1,0 +1,49 @@
+"""Scan-based streaming pipeline vs offline pipeline equivalence."""
+
+import numpy as np
+import pytest
+
+from crlot_tpu.core.types import StftConfig
+from crlot_tpu.metrics import snr_db
+from crlot_tpu.pipeline import round_trip
+from crlot_tpu.streaming_pipeline import streaming_round_trip
+
+
+def _sig(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-0.9, 0.9, n).astype(np.float32)
+
+
+@pytest.mark.parametrize("n,hop,bf", [(256, 64, 16), (1024, 256, 8), (256, 128, 32)])
+def test_streaming_matches_offline_interior(n, hop, bf):
+    cfg = StftConfig(frame_size=n, hop_size=hop, center=False)
+    x = _sig(hop * bf * 6 + n)
+    got, valid_from = streaming_round_trip(x, cfg, block_frames=bf)
+    want = np.asarray(round_trip(x, cfg))
+    lo, hi = max(valid_from, n), len(got) - n
+    assert snr_db(want[lo:hi], got[lo:hi]) > 120.0
+    # reconstruction quality vs the original signal too
+    assert snr_db(x[lo:hi], got[lo:hi]) > 80.0
+
+
+def test_streaming_block_boundaries_bitexact():
+    # The carry hand-off must not depend on block size: two block sizes give
+    # bit-identical streams (same frame set, same summation order).
+    cfg = StftConfig(frame_size=256, hop_size=64, center=False)
+    x = _sig(64 * 96 + 256, seed=1)
+    a, _ = streaming_round_trip(x, cfg, block_frames=8)
+    b, _ = streaming_round_trip(x, cfg, block_frames=32)
+    m = min(len(a), len(b))
+    np.testing.assert_array_equal(a[:m], b[:m])
+
+
+def test_streaming_too_short_raises():
+    cfg = StftConfig(frame_size=256, hop_size=64, center=False)
+    with pytest.raises(ValueError):
+        streaming_round_trip(_sig(100), cfg, block_frames=8)
+
+
+def test_streaming_center_rejected():
+    cfg = StftConfig(frame_size=256, hop_size=64, center=True)
+    with pytest.raises(ValueError):
+        streaming_round_trip(_sig(10000), cfg)
