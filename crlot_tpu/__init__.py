@@ -28,6 +28,22 @@ from .ola.reference import overlap_add, overlap_add_normalized
 from .pipeline import istft, round_trip, stft
 from .window.windows import get_window
 
-from . import core, distributed, fft, frame, io, ola, resample, window  # noqa: E402,F401
+from .resample.polyphase import resample, resample_chunked
+from .streaming_pipeline import streaming_round_trip
+
+from . import (  # noqa: E402,F401
+    checkpoint,
+    core,
+    distributed,
+    fft,
+    frame,
+    io,
+    metrics,
+    ola,
+    profiling,
+    resample,
+    spectral,
+    window,
+)
 
 __version__ = "0.1.0"

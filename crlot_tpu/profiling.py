@@ -1,0 +1,137 @@
+"""Tracing, roofline accounting, and NaN-debug mode.
+
+Reference analogs (SURVEY.md §5): google_benchmark custom reporters +
+`scripts/run_all.sh` env capture -> `trace()` (jax.profiler) and
+`environment_info()`; the SIGFPE/NaN posture -> `nan_debug()`; the in-code
+µs/roofline targets -> `roofline_samples_per_sec()` for the >=90%-of-roofline
+gate in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import platform
+import subprocess
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import jax
+
+# Published HBM bandwidth / peak compute by device kind (per-chip).
+_DEVICE_SPECS = {
+    # device_kind substring: (hbm_bytes_per_sec, bf16_flops, f32_flops)
+    "TPU v5 lite": (819e9, 394e12, 98e12),   # v5e
+    "TPU v5": (1228e9, 459e12, 115e12),      # v5p (fallback match after v5e)
+    "TPU v4": (1200e9, 275e12, 69e12),
+    "TPU v6": (1640e9, 918e12, 230e12),      # trillium
+}
+
+
+def device_specs(kind: Optional[str] = None):
+    kind = kind or jax.devices()[0].device_kind
+    for sub, spec in _DEVICE_SPECS.items():
+        if sub in kind:
+            return spec
+    return (100e9, 1e12, 5e11)  # conservative unknown-device fallback
+
+
+@dataclass(frozen=True)
+class PipelineTraffic:
+    """HBM bytes and FLOPs per INPUT SAMPLE for a round-trip config."""
+
+    bytes_per_sample: float
+    flops_per_sample: float
+
+
+def roundtrip_traffic(frame_size: int, hop: int, matmul_fft: bool = True) -> PipelineTraffic:
+    """Ideal-fusion traffic model of frame->window->rFFT->irFFT->OLA->norm.
+
+    Per input sample: read x once, write+read the [F, N] frame matrix in both
+    directions (overlap factor R = N/H), spectrum write+read, write y once.
+    FLOPs: DFT-as-matmul is 2*N*(N+2) MACs per frame per direction; FFT is
+    5*N*log2(N) per direction.
+    """
+    import math
+
+    r = frame_size / hop
+    bytes_frames = 2 * 4 * r  # write + read, forward
+    bytes_spec = 2 * 4 * r * ((frame_size // 2 + 1) * 2 / frame_size)
+    bytes_out_frames = 2 * 4 * r
+    b = 4 + bytes_frames + bytes_spec + bytes_out_frames + 4 + 4
+    if matmul_fft:
+        flops_per_frame = 2 * 2 * frame_size * (frame_size + 2) * 2
+    else:
+        flops_per_frame = 2 * 5 * frame_size * math.log2(frame_size)
+    f = flops_per_frame / hop + 10  # + window/ola/normalize elementwise
+    return PipelineTraffic(bytes_per_sample=b, flops_per_sample=f)
+
+
+def roofline_samples_per_sec(
+    frame_size: int, hop: int, matmul_fft: bool = True,
+    device_kind: Optional[str] = None,
+) -> dict:
+    """Speed-of-light samples/s for the round-trip on this device: the min of
+    the HBM-bandwidth bound and the compute bound, with both reported."""
+    hbm, bf16, f32 = device_specs(device_kind)
+    t = roundtrip_traffic(frame_size, hop, matmul_fft)
+    bw_bound = hbm / t.bytes_per_sample
+    compute_bound = f32 / t.flops_per_sample
+    return {
+        "bandwidth_bound_samples_per_sec": bw_bound,
+        "compute_bound_samples_per_sec": compute_bound,
+        "roofline_samples_per_sec": min(bw_bound, compute_bound),
+        "bytes_per_sample": t.bytes_per_sample,
+        "flops_per_sample": t.flops_per_sample,
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/crlot_trace") -> Iterator[None]:
+    """jax.profiler trace scope; open with xprof/tensorboard."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def nan_debug() -> Iterator[None]:
+    """Scope that makes NaN production raise immediately (the debugging
+    counterpart of the pipeline's finite-scrub contract)."""
+    prev = jax.config.read("jax_debug_nans")
+    jax.config.update("jax_debug_nans", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+def environment_info() -> dict:
+    """Build/CPU/git capture (reference: scripts/run_all.sh:54-72)."""
+    try:
+        git = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=5,
+        ).stdout.strip()
+    except Exception:
+        git = "unknown"
+    dev = jax.devices()[0]
+    return {
+        "git": git,
+        "platform": platform.platform(),
+        "python": platform.python_version(),
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "device_kind": dev.device_kind,
+        "num_devices": len(jax.devices()),
+    }
+
+
+if __name__ == "__main__":
+    info = environment_info()
+    info["roofline_n1024_h256"] = {
+        k: round(v, 2) for k, v in roofline_samples_per_sec(1024, 256).items()
+    }
+    print(json.dumps(info, indent=1))

@@ -1,0 +1,114 @@
+"""Spectral-domain processing ops for the STFT pipeline's process stage.
+
+The reference's e2e pipeline has an identity processing hook
+(bench/e2e_benchmark.cc:161-163 "(identity spectral processing)"); these are
+the batteries the TPU build ships for that hook: pure functions
+`spec [..., F, K] -> spec` composable into `round_trip(spectral_fn=...)`.
+All are elementwise/banded and fuse into the surrounding FFT matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def gain(g: float) -> Callable:
+    """Uniform complex gain."""
+
+    def f(spec):
+        return spec * jnp.asarray(g, dtype=spec.real.dtype)
+
+    return f
+
+
+def per_bin_filter(h: jnp.ndarray) -> Callable:
+    """Multiply every frame by a fixed complex (or real) frequency response
+    h[K] — an FFT-domain FIR filter (fast convolution)."""
+
+    def f(spec):
+        return spec * jnp.asarray(h)[..., None, :]
+
+    return f
+
+
+def fir_frequency_response(taps: np.ndarray, nfft: int) -> np.ndarray:
+    """Frequency response of an FIR filter at the pipeline's bin grid.
+
+    Note: per-frame multiplication implements CIRCULAR convolution per frame;
+    with windowed frames and hop <= nfft - len(taps) the wrap-around is
+    attenuated to the window floor (standard weighted-OLA filtering).
+    """
+    t = np.zeros(nfft, dtype=np.float64)
+    t[: len(taps)] = np.asarray(taps, dtype=np.float64)
+    return np.fft.rfft(t).astype(np.complex64)
+
+
+def magnitude(spec: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(spec)
+
+
+def power_db(spec: jnp.ndarray, floor_db: float = -120.0) -> jnp.ndarray:
+    p = jnp.square(jnp.abs(spec))
+    floor = 10.0 ** (floor_db / 10.0)
+    return 10.0 * jnp.log10(jnp.maximum(p, floor))
+
+
+def noise_gate(threshold_db: float, attenuation_db: float = -60.0) -> Callable:
+    """Attenuate bins whose power is below `threshold_db` (relative to full
+    scale): a simple spectral gate."""
+    thresh = 10.0 ** (threshold_db / 10.0)
+    att = 10.0 ** (attenuation_db / 20.0)
+
+    def f(spec):
+        p = jnp.square(jnp.abs(spec))
+        return jnp.where(p >= thresh, spec, spec * att)
+
+    return f
+
+
+def spectral_subtraction(noise_mag: jnp.ndarray, alpha: float = 1.0,
+                         floor: float = 0.0) -> Callable:
+    """Classic magnitude spectral subtraction with a spectral floor:
+    |Y| = max(|X| - alpha*|N|, floor*|X|), phase preserved."""
+
+    def f(spec):
+        mag = jnp.abs(spec)
+        nm = jnp.asarray(noise_mag)[..., None, :]
+        new_mag = jnp.maximum(mag - alpha * nm, floor * mag)
+        scale = jnp.where(mag > 0, new_mag / jnp.maximum(mag, 1e-20), 0.0)
+        return spec * scale
+
+    return f
+
+
+def band_gain(edges_hz: Sequence[float], gains: Sequence[float],
+              sample_rate: int, nfft: int) -> Callable:
+    """Piecewise-constant graphic-EQ style band gains.
+
+    edges_hz: ascending band edges (len B-1); gains: per-band linear gains
+    (len B). Bin k at k*sr/nfft Hz gets the gain of its band.
+    """
+    if len(gains) != len(edges_hz) + 1:
+        raise ValueError("need len(gains) == len(edges_hz) + 1")
+    freqs = np.arange(nfft // 2 + 1) * (sample_rate / nfft)
+    g = np.asarray(gains, dtype=np.float32)[np.searchsorted(edges_hz, freqs)]
+    gj = jnp.asarray(g)
+
+    def f(spec):
+        return spec * gj[..., None, :]
+
+    return f
+
+
+def compose(*fns: Callable) -> Callable:
+    """Chain spectral fns left-to-right."""
+
+    def f(spec):
+        for fn in fns:
+            spec = fn(spec)
+        return spec
+
+    return f
