@@ -54,10 +54,11 @@ def _block_round_trip(
     right = pull_right_halo(x_local, TIME_AXIS, halo)
     x_ext = jnp.concatenate([x_local, right], axis=-1)
 
-    # 2. local framing (gather) + window
+    # 2. local framing (gather-free hop-block slicing) + window
+    from ..frame.framing import hop_block_frames
+
     starts = jnp.arange(frames_per_block) * hop
-    idx = starts[:, None] + jnp.arange(n)[None, :]
-    frames = jnp.take(x_ext, idx, axis=-1) * window
+    frames = hop_block_frames(x_ext, n, hop, frames_per_block) * window
 
     # mask frames that do not exist globally (start + N > total_len): only
     # the last device can have these (its halo is zeros anyway, but masking

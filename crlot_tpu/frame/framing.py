@@ -24,12 +24,32 @@ def num_frames(spec: FrameSpec, signal_len: int) -> int:
     return spec.num_frames(signal_len)
 
 
+def hop_block_frames(
+    x: jnp.ndarray, frame_size: int, hop: int, n_frames: int
+) -> jnp.ndarray:
+    """Gather-free framing core: `[..., L] -> [..., n_frames, frame_size]`
+    with frame f = x[f*hop : f*hop + frame_size].
+
+    Reshapes the signal into hop blocks and stacks R = ceil(N/H) shifted
+    [F, hop] views. TPU gathers with arbitrary index matrices are slow; this
+    lowers to R static slices + one concat, all contiguous copies (the
+    hop-block dual of the OLA formulation in ola/reference.py).
+    """
+    r = -(-frame_size // hop)
+    blocks_needed = n_frames + r - 1
+    need = blocks_needed * hop
+    if x.shape[-1] < need:
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, need - x.shape[-1])]
+        x = jnp.pad(x, widths)
+    blocks = x[..., :need].reshape(*x.shape[:-1], blocks_needed, hop)
+    parts = [blocks[..., i : i + n_frames, :] for i in range(r)]
+    return jnp.concatenate(parts, axis=-1)[..., :frame_size]
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _frame_gather(padded: jnp.ndarray, spec: FrameSpec) -> jnp.ndarray:
     n_frames = spec.num_frames(padded.shape[-1] - 2 * spec.pad_amount)
-    starts = jnp.arange(n_frames) * spec.hop_size
-    idx = starts[:, None] + jnp.arange(spec.frame_size)[None, :]
-    return jnp.take(padded, idx, axis=-1)
+    return hop_block_frames(padded, spec.frame_size, spec.hop_size, n_frames)
 
 
 def frame_signal(signal: jnp.ndarray, spec: FrameSpec) -> jnp.ndarray:

@@ -23,8 +23,8 @@ import numpy as np
 from .core.types import StftConfig
 from .fft import dispatch as _fft
 from .frame.framing import frame_windowed
+from .ola.fused import ola_normalized_auto
 from .ola.norm import edge_norm
-from .ola.reference import normalize, overlap_add
 from .window.windows import get_window
 
 
@@ -65,9 +65,8 @@ def istft(
     full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
     if length is None:
         length = full - 2 * pad
-    acc = overlap_add(frames, cfg.hop_size, out_len=full)
     norm = jnp.asarray(_norm_np(cfg, num_frames, full))
-    out = normalize(acc, norm, cfg.eps)
+    out = ola_normalized_auto(frames, norm, cfg.hop_size, full, cfg.eps)
     return out[..., pad : pad + length]
 
 
