@@ -78,6 +78,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.crlot_wav_encode.argtypes = [pf, i64, c, c, c, c, p8,
                                          ctypes.POINTER(i64)]
         lib.crlot_wav_encode.restype = c
+        lib.crlot_ring_create.argtypes = [i64, c]
+        lib.crlot_ring_create.restype = ctypes.c_void_p
+        lib.crlot_ring_destroy.argtypes = [ctypes.c_void_p]
+        pi64 = ctypes.POINTER(i64)
+        lib.crlot_ring_split.argtypes = [ctypes.c_void_p, i64, i64,
+                                         pi64, pi64, pi64, pi64]
+        lib.crlot_ring_split.restype = c
+        lib.crlot_ring_write.argtypes = [ctypes.c_void_p, i64, pf, i64]
+        lib.crlot_ring_read.argtypes = [ctypes.c_void_p, i64, pf, i64]
+        lib.crlot_ring_capacity.argtypes = [ctypes.c_void_p]
+        lib.crlot_ring_capacity.restype = i64
         lib.crlot_framer_create.argtypes = [i64, i64, i64, c]
         lib.crlot_framer_create.restype = ctypes.c_void_p
         lib.crlot_framer_destroy.argtypes = [ctypes.c_void_p]

@@ -95,3 +95,54 @@ def test_native_framer_push_after_flush():
     nat.flush()
     with pytest.raises(RuntimeError):
         nat.push(np.zeros(8, dtype=np.float32))
+
+
+def test_native_ring_split_semantics():
+    import ctypes
+
+    lib = N.get_lib()
+    h = lib.crlot_ring_create(16, 0)
+    assert h
+    try:
+        o0 = ctypes.c_int64(); l0 = ctypes.c_int64()
+        o1 = ctypes.c_int64(); l1 = ctypes.c_int64()
+        # no wrap
+        assert lib.crlot_ring_split(h, 2, 8, o0, l0, o1, l1) == 1
+        assert (o0.value, l0.value) == (2, 8)
+        # wrap: start 12 len 8 -> [12,16) + [0,4)
+        assert lib.crlot_ring_split(h, 12, 8, o0, l0, o1, l1) == 2
+        assert (o0.value, l0.value, o1.value, l1.value) == (12, 4, 0, 4)
+        # over-capacity clamps to capacity
+        assert lib.crlot_ring_split(h, 0, 100, o0, l0, o1, l1) == 1
+        assert l0.value == 16
+        # beyond-capacity start wraps
+        lib.crlot_ring_split(h, 35, 4, o0, l0, o1, l1)
+        assert o0.value == 3
+    finally:
+        lib.crlot_ring_destroy(h)
+
+
+def test_native_ring_write_read_shadow():
+    import ctypes
+
+    lib = N.get_lib()
+    for shadow in (0, 1):
+        h = lib.crlot_ring_create(8, shadow)
+        try:
+            src = np.arange(1, 7, dtype=np.float32)
+            lib.crlot_ring_write(
+                h, 5, src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 6
+            )
+            out = np.zeros(6, dtype=np.float32)
+            lib.crlot_ring_read(
+                h, 5, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 6
+            )
+            np.testing.assert_array_equal(out, src)  # wrap-around round trip
+        finally:
+            lib.crlot_ring_destroy(h)
+
+
+def test_native_ring_zero_capacity_rejected():
+    lib = N.get_lib()
+    assert not lib.crlot_ring_create(0, 0)
+    assert not lib.crlot_ring_create(-5, 0)
