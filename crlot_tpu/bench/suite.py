@@ -84,11 +84,26 @@ def bench_e2e(results: Dict[str, float]) -> None:
         results[f"e2e_1s48k_n1024_h{hop}_snr_db"] = round(snr, 1)
 
 
+def bench_multichannel(results: Dict[str, float]) -> None:
+    """BASELINE config 4: 64-channel batch, per-channel STFT/OLA round-trip
+    (sharded across chips when more than one device is present)."""
+    from ..core.types import StftConfig
+    from ..pipeline import round_trip
+
+    cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 48000)).astype(np.float32))
+    sec = _time(lambda s: round_trip(s, cfg), x)
+    total = 64 * 48000
+    results["mc64_1s48k_ms"] = round(sec * 1e3, 3)
+    results["mc64_msamples_per_s"] = round(total / sec / 1e6, 1)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument(
-        "--suites", default="fft,kernels,ola,e2e",
+        "--suites", default="fft,kernels,ola,e2e,multichannel",
         help="comma-separated subset",
     )
     args = ap.parse_args(argv)
@@ -103,6 +118,8 @@ def main(argv=None) -> None:
         bench_ola(results)
     if "e2e" in suites:
         bench_e2e(results)
+    if "multichannel" in suites:
+        bench_multichannel(results)
     results["_backend"] = jax.default_backend()
     results["_wall_s"] = round(time.time() - t0, 1)
     line = json.dumps(results)

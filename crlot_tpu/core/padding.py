@@ -58,11 +58,30 @@ def pad_signal(
         return jnp.pad(x, widths, mode="constant", constant_values=value)
     if n == 0:
         raise ValueError(f"cannot {mode.value}-pad an empty signal")
-    idx = jnp.arange(-pad_left, n + pad_right)
-    if mode == PadMode.REFLECT:
-        gather = reflect101_index(idx, n)
-    elif mode == PadMode.EDGE:
-        gather = edge_index(idx, n)
-    else:  # pragma: no cover - exhaustive enum
-        raise ValueError(f"unknown pad mode: {mode}")
-    return jnp.take(x, gather, axis=-1)
+    # Gathers over the whole signal are very slow on TPU; build only the pad
+    # EDGES and concat them around the untouched interior. The common
+    # single-reflection case (pad < n) is a pure flip/slice; larger pads and
+    # EDGE's degenerate cases fall back to a small gather over the pad only.
+    def left_piece(p: int) -> jnp.ndarray:
+        if mode == PadMode.EDGE:
+            return jnp.repeat(x[..., :1], p, axis=-1)
+        if p <= n - 1:  # reflect101 of -p..-1 is x[1..p] reversed
+            return jnp.flip(x[..., 1 : p + 1], axis=-1)
+        idx = reflect101_index(jnp.arange(-p, 0), n)
+        return jnp.take(x, idx, axis=-1)
+
+    def right_piece(p: int) -> jnp.ndarray:
+        if mode == PadMode.EDGE:
+            return jnp.repeat(x[..., -1:], p, axis=-1)
+        if p <= n - 1:  # reflect101 of n..n+p-1 is x[n-1-p..n-2] reversed
+            return jnp.flip(x[..., n - 1 - p : n - 1], axis=-1)
+        idx = reflect101_index(jnp.arange(n, n + p), n)
+        return jnp.take(x, idx, axis=-1)
+
+    pieces = []
+    if pad_left:
+        pieces.append(left_piece(pad_left))
+    pieces.append(x)
+    if pad_right:
+        pieces.append(right_piece(pad_right))
+    return jnp.concatenate(pieces, axis=-1)

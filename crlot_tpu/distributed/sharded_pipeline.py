@@ -44,6 +44,7 @@ def _block_round_trip(
     cfg: StftConfig,
     total_len: int,
     spectral_fn: Optional[Callable],
+    valid_start: int = 0,
 ):
     n, hop = cfg.frame_size, cfg.hop_size
     halo = n - hop
@@ -65,7 +66,9 @@ def _block_round_trip(
     # keeps the spectrum exactly equal to the unsharded stft's frame set).
     t_idx = jax.lax.axis_index(TIME_AXIS)
     global_start = t_idx * t_block + starts
-    valid = (global_start + n <= total_len)[None, :, None]
+    valid = (
+        (global_start + n <= total_len) & (global_start >= valid_start)
+    )[None, :, None]
 
     spec = _fft.rfft(frames, n, backend=cfg.fft_backend)
     if spectral_fn is not None:
@@ -106,12 +109,17 @@ def sharded_round_trip(
     cfg: StftConfig,
     mesh: Optional[Mesh] = None,
     spectral_fn: Optional[Callable] = None,
+    valid_len: Optional[int] = None,
+    valid_start: int = 0,
 ) -> jnp.ndarray:
     """Distributed round-trip over a (channel, time) mesh.
 
     Output is bit-identical to `pipeline.round_trip(x, cfg)` with
     center=False for the covered span (positions past the last frame get
-    zeros, like the unsharded pipeline).
+    zeros, like the unsharded pipeline). `valid_start`/`valid_len` restrict
+    the frame set to frames fully inside x[..., valid_start:valid_len] — used
+    by the chunked stream driver, whose edge chunks are zero-padded to a
+    fixed shape (valid_start must be hop-aligned).
     """
     if mesh is None:
         mesh = auto_mesh()
@@ -120,6 +128,9 @@ def sharded_round_trip(
             "sharded pipeline requires center=False; pad on the host first"
         )
     channels, total_len = x.shape
+    if valid_len is None:
+        valid_len = total_len
+    valid_len = min(valid_len, total_len)
     n_ch = mesh.shape[CHANNEL_AXIS]
     n_time = mesh.shape[TIME_AXIS]
     n, hop = cfg.frame_size, cfg.hop_size
@@ -136,11 +147,16 @@ def sharded_round_trip(
             "touch only immediate neighbors"
         )
 
-    num_frames = cfg.frame_spec.num_frames(total_len)
+    if valid_start % hop != 0:
+        raise ValueError(f"valid_start ({valid_start}) must be hop-aligned")
+    num_frames = cfg.frame_spec.num_frames(valid_len - valid_start)
+    if num_frames <= 0:
+        return jnp.zeros_like(x)
+    span = (num_frames - 1) * hop + n
     norm = jnp.asarray(
         np.pad(
-            _norm_np(cfg, num_frames, (num_frames - 1) * hop + n),
-            (0, total_len - ((num_frames - 1) * hop + n)),
+            _norm_np(cfg, num_frames, span),
+            (valid_start, total_len - valid_start - span),
         )
     )
     window = jnp.asarray(get_window(cfg.window, n, cfg.periodic))
@@ -150,8 +166,9 @@ def sharded_round_trip(
             _block_round_trip,
             window=window,
             cfg=cfg,
-            total_len=total_len,
+            total_len=valid_len,
             spectral_fn=spectral_fn,
+            valid_start=valid_start,
         ),
         mesh=mesh,
         in_specs=(

@@ -45,16 +45,33 @@ class FftPlan:
     # --- natural [..., nfft] API ---
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Real -> complex, [..., nfft] -> [..., nfft//2+1]."""
+        """Real -> complex, [..., nfft] -> [..., nfft//2+1].
+
+        Respects desc.backend: AUTO picks the MXU matmul-DFT on TPU for
+        qualifying sizes (fft.dispatch), XLA otherwise; scrub applies first.
+        """
         self._require(FftDomain.REAL)
         self._check_last(x, self._nfft)
-        return _xla.rfft(x, self._nfft, self._scrub)
+        from . import dispatch as _dispatch
+        from .xla_backend import scrub
+
+        x = jnp.asarray(x, dtype=jnp.float32)
+        if self._scrub:
+            x = scrub(x)
+        return _dispatch.rfft(x, self._nfft, self.desc.backend)
 
     def inverse(self, spec: jnp.ndarray) -> jnp.ndarray:
         """Complex -> real, [..., nfft//2+1] -> [..., nfft]; includes 1/nfft."""
         self._require(FftDomain.REAL)
         self._check_last(spec, self.num_bins)
-        return _xla.irfft(spec, self._nfft, self._scrub)
+        from . import dispatch as _dispatch
+        from .xla_backend import scrub
+
+        y = _dispatch.irfft(
+            jnp.asarray(spec, dtype=jnp.complex64), self._nfft,
+            self.desc.backend,
+        )
+        return scrub(y) if self._scrub else y
 
     def forward_complex(self, x: jnp.ndarray) -> jnp.ndarray:
         self._require(FftDomain.COMPLEX)

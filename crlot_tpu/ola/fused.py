@@ -6,20 +6,23 @@ kernel computes each output hop-block tile directly:
 
     out[b] = (sum_{r=R-1..0} hops_padded[b + (R-1-r), r]) / max(norm[b], eps)
 
-with the input staged from HBM by R explicit DMAs per tile (every input
-element is read exactly once across the grid), so total traffic is
-read(frames) + read(norm) + write(out) — the speed-of-light minimum. The
-summation runs r descending = ascending frame index, matching the canonical
-left-to-right frame order of the jnp path bit-for-bit.
+Mosaic requires DMA slice shapes aligned to the memref tiling, so the frame
+matrix stays in its natural 2-D [F, R*H] layout and each grid step issues ONE
+sublane-aligned DMA of (tile + pad) rows; the R diagonal (frame-shifted)
+views are taken by sub-slicing VMEM, where misaligned sublane offsets are
+legal. Read amplification is (tile+pad)/tile (~1.25x at tile=32); everything
+else moves once, so traffic ~= read(frames) + read(norm) + write(out) — vs
+~2R passes for the jnp path. The summation runs r descending = ascending
+frame index, matching the canonical left-to-right frame order of the jnp
+path bit-for-bit.
 
-Constraints: hop % 128 == 0 and frames f32 (VPU lane alignment); other
-configs fall back to the jnp path (ola_normalized_auto).
+Constraints: hop % 128 == 0 and f32 (VPU lane alignment); other configs fall
+back to the jnp path (ola_normalized_auto).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,33 +32,27 @@ from jax.experimental.pallas import tpu as pltpu
 from .reference import normalize, overlap_add
 
 _LANES = 128
-_DEF_TILE = 8  # hop-blocks per grid step (sublane-aligned)
+_SUBLANES = 8
+_DEF_TILE = 32  # output hop-blocks per grid step
 
 
-def _fused_kernel(r_count: int, eps: float, hops_ref, norm_ref, out_ref,
-                  scratch, sems):
+def _fused_kernel(r_count: int, hop: int, extra: int, eps: float,
+                  hops_ref, norm_ref, out_ref, scratch, sem):
     b = pl.program_id(0)
     tb = out_ref.shape[0]
-    # Stage all R strided slices (independent DMAs overlap each other).
-    for r in range(r_count):
-        pltpu.make_async_copy(
-            hops_ref.at[pl.ds(b * tb + (r_count - 1 - r), tb), r],
-            scratch.at[r],
-            sems.at[r],
-        ).start()
-    # Accumulate earliest frame first (r descending == frame ascending).
+    dma = pltpu.make_async_copy(
+        hops_ref.at[pl.ds(b * tb, tb + extra), :], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    # Row j of this tile needs hops rows j + (R-1-r) for each r; take the R
+    # shifted views from VMEM. r descending == ascending frame index
+    # (canonical summation order).
     r = r_count - 1
-    pltpu.make_async_copy(
-        hops_ref.at[pl.ds(b * tb + (r_count - 1 - r), tb), r],
-        scratch.at[r], sems.at[r],
-    ).wait()
-    acc = scratch[r]
+    acc = scratch[0:tb, r * hop : (r + 1) * hop]
     for r in range(r_count - 2, -1, -1):
-        pltpu.make_async_copy(
-            hops_ref.at[pl.ds(b * tb + (r_count - 1 - r), tb), r],
-            scratch.at[r], sems.at[r],
-        ).wait()
-        acc = acc + scratch[r]
+        shift = r_count - 1 - r
+        acc = acc + scratch[shift : shift + tb, r * hop : (r + 1) * hop]
     out_ref[:] = acc / jnp.maximum(norm_ref[:], eps)
 
 
@@ -74,32 +71,33 @@ def ola_normalized_fused(
     n_pad = r_count * hop
     if n_pad != n:
         frames = jnp.pad(frames, ((0, 0), (0, n_pad - n)))
-    hops = frames.reshape(f, r_count, hop)
     blocks = -(-out_len // hop)
     tile = _DEF_TILE
     grid = -(-blocks // tile)
-    # Pad the frame axis: front R-1 zero-frames (shift), back enough that the
-    # last tile's DMAs stay in range.
-    back = grid * tile + r_count - 1 - f
-    hops_p = jnp.pad(hops, ((r_count - 1, max(back, 0)), (0, 0), (0, 0)))
-    norm_p = jnp.pad(
-        jnp.maximum(norm, 0.0), (0, grid * tile * hop - out_len)
-    ).reshape(grid * tile, hop)
+    extra = -(-(r_count - 1) // _SUBLANES) * _SUBLANES if r_count > 1 else 0
+    # Row b of the padded matrix holds frame b - (R-1) (front pad realizes
+    # the +(R-1-r) shift); back pad keeps every tile's DMA in range.
+    rows_needed = grid * tile + extra
+    back = max(0, rows_needed - f - (r_count - 1))
+    hops_p = jnp.pad(frames, ((r_count - 1, back), (0, 0)))
+    norm_p = jnp.pad(norm, (0, grid * tile * hop - out_len)).reshape(
+        grid * tile, hop
+    )
 
     out = pl.pallas_call(
-        partial(_fused_kernel, r_count, eps),
+        partial(_fused_kernel, r_count, hop, extra, eps),
         out_shape=jax.ShapeDtypeStruct((grid * tile, hop), jnp.float32),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # hops stay in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # frame matrix stays in HBM
             pl.BlockSpec((tile, hop), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, hop), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((r_count, tile, hop), jnp.float32),
-            pltpu.SemaphoreType.DMA((r_count,)),
+            pltpu.VMEM((tile + extra, n_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(hops_p, norm_p)
