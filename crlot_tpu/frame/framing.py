@@ -110,3 +110,61 @@ __all__ = [
     "FrameSpec",
     "PadMode",
 ]
+
+
+class FrameQueue:
+    """Batch framing with per-frame accessors (reference: dsp/frame/
+    FrameQueue.{h,cc}): precomputes the whole [num_frames, frame_size] matrix
+    up front; `get_frame` returns a view, `copy_frame` a copy, and
+    `get_all_frames` the full matrix (AoS contiguity: frame i+1 follows
+    frame i). Prefer `frame_signal` for pipelines; this class exists for the
+    random-access pattern (performance_benchmark.cc:181-229)."""
+
+    def __init__(self, signal, spec: FrameSpec) -> None:
+        import numpy as np
+
+        self.spec = spec
+        self._frames = np.asarray(frame_signal(signal, spec))
+        if self._frames.ndim != 2:
+            raise ValueError("FrameQueue takes a 1-D signal")
+
+    def __len__(self) -> int:
+        return self._frames.shape[0]
+
+    @property
+    def num_frames(self) -> int:
+        return self._frames.shape[0]
+
+    def get_frame(self, i: int):
+        if not 0 <= i < len(self):
+            raise IndexError(f"frame {i} out of range [0, {len(self)})")
+        return self._frames[i]
+
+    def copy_frame(self, i: int):
+        return self.get_frame(i).copy()
+
+    def get_all_frames(self):
+        return self._frames
+
+
+def aos_to_soa(interleaved, channels: int):
+    """Deinterleave AoS samples [frames*channels] -> SoA [channels, frames]
+    (reference: dsp/ola/aos_to_soa.cc:7-18, channel-major)."""
+    import numpy as np
+
+    flat = np.asarray(interleaved)
+    if flat.ndim != 1 or flat.size % channels != 0:
+        raise ValueError(
+            f"interleaved length {flat.shape} not divisible by {channels}"
+        )
+    return np.ascontiguousarray(flat.reshape(-1, channels).T)
+
+
+def soa_to_aos(soa):
+    """Interleave SoA [channels, frames] -> AoS [frames*channels]."""
+    import numpy as np
+
+    x = np.asarray(soa)
+    if x.ndim != 2:
+        raise ValueError("soa must be 2-D [channels, frames]")
+    return np.ascontiguousarray(x.T).reshape(-1)

@@ -212,3 +212,34 @@ def test_framer_invalid():
     fr = Framer(4, 2, channels=2)
     with pytest.raises(ValueError):
         fr.push(np.zeros(3, dtype=np.float32))  # not multiple of channels
+
+
+def test_frame_queue_accessors():
+    from crlot_tpu.frame.framing import FrameQueue
+
+    x = np.arange(64, dtype=np.float32)
+    q = FrameQueue(x, FrameSpec(16, 8))
+    assert len(q) == q.num_frames == 7
+    np.testing.assert_array_equal(q.get_frame(2), x[16:32])
+    c = q.copy_frame(0)
+    c[0] = 99.0
+    assert q.get_frame(0)[0] == 0.0  # copy is independent
+    allf = q.get_all_frames()
+    assert allf.shape == (7, 16)
+    # AoS contiguity: frame i+1 immediately follows frame i in memory
+    assert allf.flags["C_CONTIGUOUS"]
+    with pytest.raises(IndexError):
+        q.get_frame(7)
+    with pytest.raises(ValueError):
+        FrameQueue(np.zeros((2, 64), dtype=np.float32), FrameSpec(16, 8))
+
+
+def test_aos_soa_round_trip():
+    from crlot_tpu.frame.framing import aos_to_soa, soa_to_aos
+
+    inter = np.array([1, -1, 2, -2, 3, -3], dtype=np.float32)
+    soa = aos_to_soa(inter, 2)
+    np.testing.assert_array_equal(soa, [[1, 2, 3], [-1, -2, -3]])
+    np.testing.assert_array_equal(soa_to_aos(soa), inter)
+    with pytest.raises(ValueError):
+        aos_to_soa(np.zeros(5, dtype=np.float32), 2)
