@@ -14,26 +14,49 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import FftBackend
+from . import ct_backend as _ct
 from . import matmul_backend as _mm
 
 
+def _is_pow2(n: int) -> bool:
+    return n > 0 and not (n & (n - 1))
+
+
 def _pick(backend: FftBackend, nfft: int) -> FftBackend:
-    if backend != FftBackend.AUTO:
-        return backend
-    if (
-        jax.default_backend() == "tpu"
-        and nfft <= _mm.MAX_MATMUL_NFFT
-        and nfft % 2 == 0
-    ):
+    if backend == FftBackend.XLA:
+        return FftBackend.XLA
+    if backend == FftBackend.MATMUL:
         return FftBackend.MATMUL
+    # AUTO: MXU paths on TPU when the size qualifies.
+    if jax.default_backend() == "tpu" and nfft % 2 == 0:
+        if nfft <= _mm.MAX_MATMUL_NFFT or _is_pow2(nfft):
+            return FftBackend.MATMUL
     return FftBackend.XLA
+
+
+def _mm_rfft(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    # Direct DFT matmul up to the basis-size cap; two-stage Cooley-Tukey
+    # matmuls beyond (power-of-two sizes).
+    if nfft <= _mm.MAX_MATMUL_NFFT:
+        return _mm.rfft_matmul(x, nfft)
+    if _is_pow2(nfft):
+        return _ct.rfft_ct(x, nfft)
+    return jnp.fft.rfft(x, n=nfft, axis=-1)
+
+
+def _mm_irfft(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    if nfft <= _mm.MAX_MATMUL_NFFT:
+        return _mm.irfft_matmul(x, nfft)
+    if _is_pow2(nfft):
+        return _ct.irfft_ct(x, nfft)
+    return jnp.fft.irfft(x, n=nfft, axis=-1)
 
 
 def rfft(
     x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO
 ) -> jnp.ndarray:
     if _pick(backend, nfft) == FftBackend.MATMUL:
-        return _mm.rfft_matmul(x, nfft)
+        return _mm_rfft(x, nfft)
     return jnp.fft.rfft(x, n=nfft, axis=-1)
 
 
@@ -41,7 +64,7 @@ def irfft(
     x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO
 ) -> jnp.ndarray:
     if _pick(backend, nfft) == FftBackend.MATMUL:
-        return _mm.irfft_matmul(x, nfft)
+        return _mm_irfft(x, nfft)
     return jnp.fft.irfft(x, n=nfft, axis=-1)
 
 
