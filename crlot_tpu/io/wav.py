@@ -17,10 +17,13 @@ used by the high-throughput loader path.
 
 from __future__ import annotations
 
+import logging
 import struct
 from typing import Tuple
 
 import numpy as np
+
+logger = logging.getLogger("crlot_tpu.io")
 
 _FMT_PCM = 1
 _FMT_IEEE_FLOAT = 3
@@ -92,6 +95,11 @@ def read_wav(path: str, strict: bool = True) -> Tuple[np.ndarray, int]:
         )
         i32 = np.where(i32 & 0x800000, i32 - (1 << 24), i32)
         x = i32.astype(np.float32) / _full_scale(24)
+    logger.debug(
+        "read %s: %d ch, %d frames @ %d Hz, %d-bit %s",
+        path, channels, n_frames, rate, bits,
+        "float" if tag == _FMT_IEEE_FLOAT else "pcm",
+    )
     return np.ascontiguousarray(x.reshape(n_frames, channels).T), int(rate)
 
 
@@ -161,6 +169,11 @@ def write_wav(
     )
     with open(path, "wb") as f:
         f.write(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+    logger.debug(
+        "wrote %s: %d ch, %d frames @ %d Hz, %d-bit %s",
+        path, channels, n_frames, sample_rate, bits,
+        "float" if float_format else "pcm",
+    )
 
 
 class WavReader:
