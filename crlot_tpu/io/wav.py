@@ -255,3 +255,97 @@ class WavWriter:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class WavStreamReader:
+    """Chunked WAV reader for streams too long to hold in memory.
+
+    Parses the header once, then decodes `read_chunk(frames)` windows
+    straight from the file — the host loader for hour-long streaming jobs
+    (pairs with distributed.stream.sharded_stream_iter). Same format guards
+    as `read_wav`.
+    """
+
+    def __init__(self, path: str, strict: bool = True) -> None:
+        self.path = path
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+                raise WavFormatError(f"{path}: not a RIFF/WAVE file")
+            fmt = None
+            self._data_off = None
+            self._data_len = 0
+            pos = 12
+            while True:
+                f.seek(pos)
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid = hdr[:4]
+                (size,) = struct.unpack("<I", hdr[4:])
+                if cid == b"fmt ":
+                    fmt = f.read(size)
+                elif cid == b"data":
+                    self._data_off = pos + 8
+                    self._data_len = size
+                pos += 8 + size + (size & 1)
+        if fmt is None or self._data_off is None:
+            raise WavFormatError(f"{path}: missing fmt/data chunk")
+        tag, ch, rate, _, ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+        if tag == _FMT_EXTENSIBLE and len(fmt) >= 26:
+            (tag,) = struct.unpack_from("<H", fmt, 24)
+        if tag not in (_FMT_PCM, _FMT_IEEE_FLOAT):
+            raise WavFormatError(f"{path}: unsupported format tag {tag}")
+        if bits not in _VALID_BITS or (tag == _FMT_IEEE_FLOAT and bits != 32):
+            raise WavFormatError(f"{path}: unsupported bit depth {bits}")
+        if ch < 1 or (strict and ch > 2):
+            raise WavFormatError(f"{path}: unsupported channel count {ch}")
+        self.channels = ch
+        self.sample_rate = int(rate)
+        self.bits = bits
+        self.is_float = tag == _FMT_IEEE_FLOAT
+        self._block = ba
+        self.num_frames = self._data_len // ba
+        self._pos = 0  # frame cursor
+
+    def _decode(self, raw: bytes) -> np.ndarray:
+        n = len(raw) // self._block
+        if self.is_float:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif self.bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / _full_scale(16)
+        elif self.bits == 32:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / _full_scale(32)
+        else:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            i32 = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            i32 = np.where(i32 & 0x800000, i32 - (1 << 24), i32)
+            x = i32.astype(np.float32) / _full_scale(24)
+        return np.ascontiguousarray(x.reshape(n, self.channels).T)
+
+    def read_chunk(self, frames: int) -> np.ndarray:
+        """Next [channels, <=frames] block; empty array at EOF."""
+        frames = min(frames, self.num_frames - self._pos)
+        if frames <= 0:
+            return np.zeros((self.channels, 0), dtype=np.float32)
+        with open(self.path, "rb") as f:
+            f.seek(self._data_off + self._pos * self._block)
+            raw = f.read(frames * self._block)
+        self._pos += frames
+        return self._decode(raw)
+
+    def seek(self, frame: int) -> None:
+        if not 0 <= frame <= self.num_frames:
+            raise ValueError(f"seek {frame} out of range [0, {self.num_frames}]")
+        self._pos = frame
+
+    def __iter__(self):
+        while True:
+            chunk = self.read_chunk(1 << 16)
+            if chunk.shape[1] == 0:
+                return
+            yield chunk

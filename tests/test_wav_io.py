@@ -152,3 +152,22 @@ def test_extra_chunks_skipped(tmp_path):
     y, rate = read_wav(p2)
     assert rate == sr
     assert y.shape == (1, 100)
+
+
+def test_stream_reader_matches_full_read(tmp_path, oboe):
+    from crlot_tpu.io.wav import WavStreamReader
+
+    x, sr = oboe
+    p = str(tmp_path / "stream.wav")
+    write_wav(p, x, sr, bits=16)
+    full, _ = read_wav(p)
+    r = WavStreamReader(p)
+    assert (r.channels, r.sample_rate, r.num_frames) == (1, sr, len(x))
+    chunks = [r.read_chunk(10007) for _ in range(len(x) // 10007 + 2)]
+    got = np.concatenate([c for c in chunks if c.size], axis=1)
+    np.testing.assert_array_equal(got, full)
+    assert r.read_chunk(10).shape == (1, 0)  # EOF
+    r.seek(100)
+    np.testing.assert_array_equal(r.read_chunk(5), full[:, 100:105])
+    got_iter = np.concatenate(list(WavStreamReader(p)), axis=1)
+    np.testing.assert_array_equal(got_iter, full)
