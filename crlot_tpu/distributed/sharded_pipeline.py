@@ -40,7 +40,7 @@ from .mesh import CHANNEL_AXIS, TIME_AXIS, auto_mesh, make_mesh
 def _block_round_trip(
     x_local: jnp.ndarray,  # [C_local, T_block]
     norm_local: jnp.ndarray,  # [T_block]
-    window: jnp.ndarray,  # [N]
+    window_f64: np.ndarray,  # [N] float64 host design (folds into DFT basis)
     cfg: StftConfig,
     total_len: int,
     spectral_fn: Optional[Callable],
@@ -55,11 +55,12 @@ def _block_round_trip(
     right = pull_right_halo(x_local, TIME_AXIS, halo)
     x_ext = jnp.concatenate([x_local, right], axis=-1)
 
-    # 2. local framing (gather-free hop-block slicing) + window
+    # 2. local framing (gather-free hop-block slicing); the analysis window
+    # folds into the DFT basis on the matmul path (rfft_windowed)
     from ..frame.framing import hop_block_frames
 
     starts = jnp.arange(frames_per_block) * hop
-    frames = hop_block_frames(x_ext, n, hop, frames_per_block) * window
+    frames = hop_block_frames(x_ext, n, hop, frames_per_block)
 
     # mask frames that do not exist globally (start + N > total_len): only
     # the last device can have these (its halo is zeros anyway, but masking
@@ -70,12 +71,14 @@ def _block_round_trip(
         (global_start + n <= total_len) & (global_start >= valid_start)
     )[None, :, None]
 
-    spec = _fft.rfft(frames, n, backend=cfg.fft_backend)
+    spec = _fft.rfft_windowed(frames, n, window_f64, backend=cfg.fft_backend)
     if spectral_fn is not None:
         spec = spectral_fn(spec)
     out_frames = _fft.irfft(spec, n, backend=cfg.fft_backend)
     if cfg.synthesis_window:
-        out_frames = out_frames * window
+        out_frames = out_frames * jnp.asarray(
+            window_f64.astype(np.float32)
+        )
     out_frames = jnp.where(valid, out_frames, 0.0)
 
     # 3.+4. local OLA with left-tail pre-seed (canonical summation order)
@@ -159,12 +162,12 @@ def sharded_round_trip(
             (valid_start, total_len - valid_start - span),
         )
     )
-    window = jnp.asarray(get_window(cfg.window, n, cfg.periodic))
+    window_f64 = get_window(cfg.window, n, cfg.periodic, dtype=np.float64)
 
     fn = jax.shard_map(
         partial(
             _block_round_trip,
-            window=window,
+            window_f64=window_f64,
             cfg=cfg,
             total_len=valid_len,
             spectral_fn=spectral_fn,

@@ -69,3 +69,25 @@ def irfft(
 
 
 __all__ = ["FftBackend", "rfft", "irfft"]
+
+
+def rfft_windowed(
+    x: jnp.ndarray,
+    nfft: int,
+    window_f64,
+    backend: FftBackend = FftBackend.AUTO,
+) -> jnp.ndarray:
+    """rfft(x * window): on the direct-matmul path the window folds into the
+    DFT basis (zero-cost); other paths multiply then transform.
+
+    `window_f64` is the float64 host design of the window (the f32 working
+    window is its cast), so folding loses no precision vs multiply-then-DFT.
+    """
+    import numpy as np
+
+    from . import matmul_backend as _mmb
+
+    if _pick(backend, nfft) == FftBackend.MATMUL and nfft <= _mm.MAX_MATMUL_NFFT:
+        return _mmb.rfft_windowed_matmul(x, nfft, window_f64)
+    w = jnp.asarray(np.asarray(window_f64, dtype=np.float32))
+    return rfft(x * w, nfft, backend)

@@ -67,3 +67,29 @@ def irfft_matmul(spec: jnp.ndarray, nfft: int) -> jnp.ndarray:
     basis = jnp.asarray(_inverse_basis(nfft))
     ri = jnp.concatenate([spec.real, spec.imag], axis=-1).astype(jnp.float32)
     return jnp.dot(ri, basis, precision=jax.lax.Precision.HIGHEST)
+
+
+@lru_cache(maxsize=None)
+def _windowed_forward_basis(nfft: int, window_bytes: bytes) -> np.ndarray:
+    """Forward basis with the analysis window folded in:
+    (x * w) @ B == x @ (diag(w) @ B). Saves a full elementwise pass over the
+    frame matrix — the window costs zero on the matmul path."""
+    w = np.frombuffer(window_bytes, dtype=np.float64)
+    assert len(w) == nfft
+    return (w[:, None] * _forward_basis(nfft).astype(np.float64)).astype(
+        np.float32
+    )
+
+
+def rfft_windowed_matmul(
+    x: jnp.ndarray, nfft: int, window_f64: np.ndarray
+) -> jnp.ndarray:
+    """rfft(x * window) as ONE matmul on unwindowed frames."""
+    basis = jnp.asarray(
+        _windowed_forward_basis(nfft, np.asarray(window_f64, np.float64).tobytes())
+    )
+    flat = jnp.dot(
+        x.astype(jnp.float32), basis, precision=jax.lax.Precision.HIGHEST
+    )
+    kk = nfft // 2 + 1
+    return jax.lax.complex(flat[..., :kk], flat[..., kk:])

@@ -34,6 +34,11 @@ def _window_np(cfg: StftConfig) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _window_f64(cfg: StftConfig) -> np.ndarray:
+    return get_window(cfg.window, cfg.frame_size, cfg.periodic, dtype=np.float64)
+
+
+@lru_cache(maxsize=None)
 def _norm_np(cfg: StftConfig, num_frames: int, out_len: int) -> np.ndarray:
     w = _window_np(cfg).astype(np.float64)
     contrib = w * w if cfg.synthesis_window else w
@@ -41,10 +46,15 @@ def _norm_np(cfg: StftConfig, num_frames: int, out_len: int) -> np.ndarray:
 
 
 def stft(signal: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
-    """`[..., L]` real -> `[..., F, nfft//2+1]` complex spectrogram."""
-    window = jnp.asarray(_window_np(cfg))
-    frames = frame_windowed(signal, cfg.frame_spec, window)
-    return _fft.rfft(frames, cfg.frame_size, backend=cfg.fft_backend)
+    """`[..., L]` real -> `[..., F, nfft//2+1]` complex spectrogram.
+
+    The analysis window rides inside the DFT basis on the matmul path
+    (zero-cost); other backends multiply explicitly (fft.dispatch).
+    """
+    frames = frame_windowed(signal, cfg.frame_spec, None)
+    return _fft.rfft_windowed(
+        frames, cfg.frame_size, _window_f64(cfg), backend=cfg.fft_backend
+    )
 
 
 def istft(

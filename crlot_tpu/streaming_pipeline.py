@@ -44,6 +44,7 @@ def streaming_round_trip_blocks(
     n, hop = cfg.frame_size, cfg.hop_size
     halo = n - hop
     window_np = get_window(cfg.window, n, cfg.periodic)
+    window_f64 = get_window(cfg.window, n, cfg.periodic, dtype=np.float64)
     window = jnp.asarray(window_np)
     norm_np = build_norm_linear(
         window_np.astype(np.float64) ** 2 if cfg.synthesis_window else window_np,
@@ -58,9 +59,9 @@ def streaming_round_trip_blocks(
     from .ola.reference import overlap_add
 
     def step(carry_tail, frames):
-        # frames: [block_frames, N]
-        wf = frames * window
-        spec = _fft.rfft(wf, n, backend=cfg.fft_backend)
+        # frames: [block_frames, N]; window folds into the DFT basis on the
+        # matmul path (same code path as pipeline.stft for bit-consistency)
+        spec = _fft.rfft_windowed(frames, n, window_f64, backend=cfg.fft_backend)
         out_f = _fft.irfft(spec, n, backend=cfg.fft_backend)
         if cfg.synthesis_window:
             out_f = out_f * window
