@@ -18,12 +18,15 @@ def _time(fn, x, reps=5, k_small=2, k_big=12):
     """Per-call device seconds for `fn(x)`, amortized over a k-length in-jit
     chain to cancel the remote dispatch+readback latency (~25 ms on the
     tunnel). A tiny scalar derived from each output perturbs the next input,
-    so XLA cannot hoist the body out of the scan."""
+    so XLA cannot hoist the body out of the scan. The input is passed as a
+    jit ARGUMENT (closure-captured device arrays would be embedded as
+    constants, requiring a fragile device->host fetch at trace time)."""
+    x = np.asarray(x)
 
     def chain(k):
-        def chained(s0):
+        def chained(s0, xx):
             def body(s, _):
-                out = fn(x + s)
+                out = fn(xx + s)
                 probe = out.reshape(-1)[0]
                 if jnp.iscomplexobj(probe):
                     probe = probe.real
@@ -33,11 +36,11 @@ def _time(fn, x, reps=5, k_small=2, k_big=12):
             return c
 
         f = jax.jit(chained)
-        float(f(jnp.float32(0)))
+        float(f(jnp.float32(0), x))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(jnp.float32(0)))
+            float(f(jnp.float32(0), x))
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[len(ts) // 2]
 

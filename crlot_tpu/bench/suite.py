@@ -28,7 +28,7 @@ def bench_fft(results: Dict[str, float]) -> None:
     rng = np.random.default_rng(0)
     for nfft in (512, 1024, 2048):
         for batch in (1, 4, 64):
-            x = jnp.asarray(rng.uniform(-1, 1, (batch, nfft)).astype(np.float32))
+            x = rng.uniform(-1, 1, (batch, nfft)).astype(np.float32)
 
             def fwd_inv(v):
                 return jnp.fft.irfft(jnp.fft.rfft(v, axis=-1), n=nfft, axis=-1)
@@ -42,9 +42,9 @@ def bench_kernels(results: Dict[str, float]) -> None:
 
     rng = np.random.default_rng(1)
     for n in (1024, 32768, 1 << 20):
-        dst = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
-        src = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
-        win = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+        dst = rng.uniform(-1, 1, n).astype(np.float32)
+        src = rng.uniform(-1, 1, n).astype(np.float32)
+        win = rng.uniform(0, 1, n).astype(np.float32)
         ns = _time(lambda d: K.axpy_windowed(d, src, win, 1.5), dst) * 1e9 / n
         results[f"kernel_axpy_windowed_n{n}_ns_per_elem"] = round(ns, 4)
         ns = _time(lambda d: K.normalize_and_clear(d, win)[0], dst) * 1e9 / n
@@ -59,9 +59,7 @@ def bench_ola(results: Dict[str, float]) -> None:
         for ratio in (2, 4):
             hop = n // ratio
             f = 48000 * 4 // hop
-            frames = jnp.asarray(
-                rng.uniform(-1, 1, (f, n)).astype(np.float32)
-            )
+            frames = rng.uniform(-1, 1, (f, n)).astype(np.float32)
             us = _time(lambda fr: overlap_add(fr, hop), frames) * 1e6
             results[f"ola_n{n}_h{hop}_f{f}_us"] = round(us, 2)
 
@@ -75,7 +73,7 @@ def bench_e2e(results: Dict[str, float]) -> None:
     for hop in (256, 512):
         cfg = StftConfig(frame_size=1024, hop_size=hop, center=True)
         rng = np.random.default_rng(3)
-        x = jnp.asarray(rng.uniform(-0.9, 0.9, sr).astype(np.float32))
+        x = rng.uniform(-0.9, 0.9, sr).astype(np.float32)
         y = jax.jit(lambda s: round_trip(s, cfg))(x)
         snr = snr_db(np.asarray(x), np.asarray(y))
         sec = _time(lambda s: round_trip(s, cfg), x)
@@ -92,7 +90,7 @@ def bench_multichannel(results: Dict[str, float]) -> None:
 
     cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
     rng = np.random.default_rng(4)
-    x = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 48000)).astype(np.float32))
+    x = rng.uniform(-0.9, 0.9, (64, 48000)).astype(np.float32)
     sec = _time(lambda s: round_trip(s, cfg), x)
     total = 64 * 48000
     results["mc64_1s48k_ms"] = round(sec * 1e3, 3)
