@@ -11,7 +11,7 @@ construction and hashable so they can parameterize jitted closures.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class WindowType(enum.Enum):

@@ -16,7 +16,7 @@ the per-chunk context refeed crosses DCN (via the host).
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Callable, Iterator, Optional
 
 import numpy as np
 import jax.numpy as jnp

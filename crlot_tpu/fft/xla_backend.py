@@ -14,7 +14,7 @@ but kept for bit-equivalent CPU testing.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

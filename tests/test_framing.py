@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from crlot_tpu.core.padding import pad_signal, reflect101_index
-from crlot_tpu.core.types import BoundaryMode, FrameSpec, PadMode
+from crlot_tpu.core.types import BoundaryMode, FrameSpec, PadMode  # noqa: F401
 from crlot_tpu.frame.framing import frame_signal, frame_windowed, num_frames
 from crlot_tpu.frame.streaming import Framer
 
