@@ -13,9 +13,14 @@ Runs on whatever backend jax selects (the real TPU chip under the driver).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persist compiles: the remote TPU tunnel is flaky and recompiles are the
+# expensive part of a retry.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 BASELINE_SAMPLES_PER_SEC = 48000 / 0.90e-3  # reference e2e: 0.90 ms / 1 s audio
 

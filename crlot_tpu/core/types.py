@@ -147,7 +147,7 @@ class FftPlanDesc:
     stride_in: int = 1
     stride_out: int = 1
     scrub: bool = True  # NaN/Inf->0 + denormal flush (kissfft_adapter.cc:96-121)
-    backend: FftBackend = FftBackend.XLA
+    backend: FftBackend = FftBackend.AUTO
 
     def __post_init__(self) -> None:
         if self.nfft <= 0:
