@@ -15,8 +15,8 @@ in steady state; `flush()` releases the tail (the reference instead extends
 drain hop-paced; the bound here makes early-drain corruption impossible while
 draining the same samples in the same order for hop-paced callers).
 
-The int32 sample cursors bound a single stream to 2^31 samples (~12 h at
-48 kHz); shard longer streams by time-block (crlot_tpu.distributed).
+The device cursors are int32; the class wrapper renormalizes them by ring
+multiples before overflow, so stream length is unbounded.
 """
 
 from __future__ import annotations
@@ -153,6 +153,7 @@ class OLAAccumulator:
         self._norm = jnp.asarray(make_norm_ring(cfg, None))
         self._state = ola_init(cfg)
         self._peak = 0.0
+        self._cursor_shift = 0  # host-side absolute offset (overflow guard)
 
     # --- configuration (reference: OLAAccumulator.cc:38-52) ---
 
@@ -198,6 +199,7 @@ class OLAAccumulator:
         if size is None:
             size = self.cfg.frame_size - start_off
         size = min(size, self.cfg.frame_size - start_off)  # clamp like :81-83
+        start_sample -= self._cursor_shift  # map caller-absolute -> state frame
         if start_sample + size - int(self._state.read_pos) > self.cfg.ring_len:
             raise ValueError(
                 "frame overruns the ring: drain with produce() first "
@@ -239,6 +241,17 @@ class OLAAccumulator:
         result = np.asarray(out[:, :count])
         if count:
             self._peak = max(self._peak, float(np.max(np.abs(result[0]))))
+        # Renormalize absolute cursors before int32 overflow (~12 h @ 48 kHz):
+        # shifting both by a ring multiple preserves every modular index and
+        # the produced-read_pos difference.
+        read_pos = int(self._state.read_pos)
+        if read_pos > (1 << 30):
+            shift = (read_pos // self.cfg.ring_len) * self.cfg.ring_len
+            self._state = self._state._replace(
+                read_pos=self._state.read_pos - shift,
+                produced=self._state.produced - shift,
+            )
+            self._cursor_shift += shift
         return result
 
     def available(self) -> int:
@@ -254,6 +267,7 @@ class OLAAccumulator:
         self._window = None
         self._norm = jnp.asarray(make_norm_ring(self.cfg, None))
         self._peak = 0.0
+        self._cursor_shift = 0
 
     @property
     def meter_peak(self) -> float:

@@ -169,3 +169,33 @@ def test_set_window_validation():
         ola.set_window(np.ones(31, dtype=np.float32))
     with pytest.raises(ValueError):
         ola.add_frame_soa(np.ones((2, 32), dtype=np.float32), 0)  # wrong channels
+
+
+def test_cursor_renormalization_long_stream():
+    # Force the overflow guard by shrinking the threshold via monkeypatching
+    # is invasive; instead simulate directly: shift cursors as produce() would
+    # and verify continued correctness across the renormalization boundary.
+    cfg = _cfg(frame_size=64, hop_size=16, apply_window_inside=False)
+    ola = OLAAccumulator(cfg)
+    # Pretend a very long stream already ran: mimic the internal shift.
+    big = (1 << 30) + cfg.ring_len * 3
+    shift = (big // cfg.ring_len) * cfg.ring_len
+    ola._state = ola._state._replace(
+        read_pos=ola._state.read_pos + (big - shift),
+        produced=ola._state.produced + (big - shift),
+    )
+    ola._cursor_shift = shift
+    base = shift + (big - shift)  # caller-absolute continuation point
+    rng = np.random.default_rng(7)
+    frames = rng.standard_normal((20, 1, 64)).astype(np.float32)
+    chunks = []
+    for k in range(20):
+        ola.add_frame_soa(frames[k], base + k * 16)
+        avail = ola.available()
+        if avail:
+            chunks.append(ola.produce(avail))
+    ola.flush()
+    chunks.append(ola.produce(cfg.ring_len))
+    got = np.concatenate(chunks, axis=1)
+    want = np.asarray(overlap_add(frames[:, 0, :], 16))
+    np.testing.assert_allclose(got[0], want, atol=1e-5)
