@@ -76,14 +76,27 @@ class FftPlan:
     def forward_complex(self, x: jnp.ndarray) -> jnp.ndarray:
         self._require(FftDomain.COMPLEX)
         self._check_last(x, self._nfft)
-        return _xla.fft(x, self._nfft, self._scrub)
+        from . import dispatch as _dispatch
+        from .xla_backend import scrub
+
+        x = jnp.asarray(x, dtype=jnp.complex64)
+        if self._scrub:
+            x = scrub(x)
+        return _dispatch.fft_complex(x, self._nfft, self.desc.backend)
 
     def inverse_complex(self, spec: jnp.ndarray) -> jnp.ndarray:
         """Complex inverse; includes 1/nfft (reference scales by 1/nfft,
         kissfft_adapter.cc:222-246)."""
         self._require(FftDomain.COMPLEX)
         self._check_last(spec, self._nfft)
-        return _xla.ifft(spec, self._nfft, self._scrub)
+        from . import dispatch as _dispatch
+        from .xla_backend import scrub
+
+        y = _dispatch.ifft_complex(
+            jnp.asarray(spec, dtype=jnp.complex64), self._nfft,
+            self.desc.backend,
+        )
+        return scrub(y) if self._scrub else y
 
     # --- flat strided layout (reference batch/stride contract) ---
 

@@ -139,3 +139,21 @@ def irfft_ct(spec: jnp.ndarray, nfft: int) -> jnp.ndarray:
     tr, ti = fr / m, -fi / m
     out = jnp.stack([tr, ti], axis=-1).reshape(*tr.shape[:-1], nfft)
     return out
+
+
+def fft_ct(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """Complex FFT [..., nfft] -> [..., nfft] via the two-stage CT matmuls."""
+    m1, m2 = factor(nfft)
+    zr, zi = _ct_fft(
+        x.real.astype(jnp.float32), x.imag.astype(jnp.float32), m1, m2
+    )
+    return jax.lax.complex(zr, zi)
+
+
+def ifft_ct(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """Inverse complex FFT (includes 1/N): conj(fft(conj(x)))/N."""
+    m1, m2 = factor(nfft)
+    zr, zi = _ct_fft(
+        x.real.astype(jnp.float32), -x.imag.astype(jnp.float32), m1, m2
+    )
+    return jax.lax.complex(zr / nfft, -zi / nfft)

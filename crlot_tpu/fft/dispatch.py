@@ -91,3 +91,21 @@ def rfft_windowed(
         return _mmb.rfft_windowed_matmul(x, nfft, window_f64)
     w = jnp.asarray(np.asarray(window_f64, dtype=np.float32))
     return rfft(x * w, nfft, backend)
+
+
+def fft_complex(
+    x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO
+) -> jnp.ndarray:
+    """Complex forward FFT with backend dispatch (CT matmuls for power-of-2
+    sizes on the MATMUL path, jnp.fft otherwise)."""
+    if _pick(backend, nfft) == FftBackend.MATMUL and _is_pow2(nfft):
+        return _ct.fft_ct(x, nfft)
+    return jnp.fft.fft(x, n=nfft, axis=-1)
+
+
+def ifft_complex(
+    x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO
+) -> jnp.ndarray:
+    if _pick(backend, nfft) == FftBackend.MATMUL and _is_pow2(nfft):
+        return _ct.ifft_ct(x, nfft)
+    return jnp.fft.ifft(x, n=nfft, axis=-1)

@@ -61,3 +61,36 @@ def test_pipeline_large_frame_ct():
     )
     y = np.asarray(round_trip(x, cfg))
     assert snr_db(x, y) > 80.0
+
+
+def test_complex_ct_matches_numpy():
+    import jax.numpy as jnp
+
+    from crlot_tpu.fft.ct_backend import fft_ct, ifft_ct
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((2, 4096)) + 1j * rng.standard_normal((2, 4096))
+         ).astype(np.complex64)
+    got = np.asarray(fft_ct(jnp.asarray(x), 4096))
+    want = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert np.max(np.abs(got - want)) / 4096 < 2e-6
+    back = np.asarray(ifft_ct(jnp.asarray(got), 4096))
+    assert np.max(np.abs(back - x)) < 1e-3
+
+
+def test_plan_complex_matmul_backend():
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.types import FftBackend, FftDomain, FftPlanDesc
+    from crlot_tpu.fft.api import make_fft_plan
+
+    plan = make_fft_plan(
+        FftPlanDesc(domain=FftDomain.COMPLEX, nfft=2048,
+                    backend=FftBackend.MATMUL)
+    )
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)).astype(
+        np.complex64
+    )
+    y = np.asarray(plan.inverse_complex(plan.forward_complex(jnp.asarray(x))))
+    assert np.max(np.abs(y - x)) < 1e-3
