@@ -93,3 +93,39 @@ def rfft_windowed_matmul(
     )
     kk = nfft // 2 + 1
     return jax.lax.complex(flat[..., :kk], flat[..., kk:])
+
+
+@lru_cache(maxsize=None)
+def _windowed_inverse_basis(nfft: int, window_bytes: bytes) -> np.ndarray:
+    """Inverse basis with a synthesis window folded in (columns scaled)."""
+    w = np.frombuffer(window_bytes, dtype=np.float64)
+    assert len(w) == nfft
+    base = _inverse_basis(nfft).astype(np.float64)
+    return (base * w[None, :]).astype(np.float32)
+
+
+def roundtrip_packed_matmul(
+    frames: jnp.ndarray,
+    nfft: int,
+    analysis_window_f64: np.ndarray,
+    synthesis_window_f64=None,
+) -> jnp.ndarray:
+    """irfft(rfft(frames * w)) as two matmuls with NO complex dtype.
+
+    The forward basis emits [Re | Im] packed reals — exactly the layout the
+    inverse basis consumes — so the identity-processing round-trip never
+    interleaves into complex64 (complex conversion costs two full passes over
+    the spectrum on TPU). Used by pipeline.round_trip when spectral_fn is
+    None; any real processing goes through the complex view instead.
+    """
+    wb = np.asarray(analysis_window_f64, np.float64).tobytes()
+    fwd = jnp.asarray(_windowed_forward_basis(nfft, wb))
+    if synthesis_window_f64 is not None:
+        sb = np.asarray(synthesis_window_f64, np.float64).tobytes()
+        inv = jnp.asarray(_windowed_inverse_basis(nfft, sb))
+    else:
+        inv = jnp.asarray(_inverse_basis(nfft))
+    packed = jnp.dot(
+        frames.astype(jnp.float32), fwd, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.dot(packed, inv, precision=jax.lax.Precision.HIGHEST)

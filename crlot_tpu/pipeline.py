@@ -89,8 +89,39 @@ def round_trip(
 
     With spectral_fn=None this is the reference's identity round-trip
     (bench/e2e_benchmark.cc:161-163) and must reconstruct at > 60 dB SNR.
+    On the matmul-FFT path, the identity round-trip keeps the spectrum in
+    packed-real layout (forward output feeds the inverse basis directly),
+    skipping complex64 interleave/deinterleave.
     """
+    import jax
+
+    from .core.types import FftBackend
+    from .fft.matmul_backend import MAX_MATMUL_NFFT, roundtrip_packed_matmul
+    from .frame.framing import frame_signal
+    from .ola.fused import ola_normalized_auto
+
     signal = jnp.asarray(signal)
+    use_packed = (
+        spectral_fn is None
+        and cfg.fft_backend in (FftBackend.AUTO, FftBackend.MATMUL)
+        and cfg.frame_size <= MAX_MATMUL_NFFT
+        and jax.default_backend() == "tpu"
+    )
+    if use_packed:
+        frames = frame_signal(signal, cfg.frame_spec)
+        w64 = _window_f64(cfg)
+        out_frames = roundtrip_packed_matmul(
+            frames, cfg.frame_size, w64,
+            w64 if cfg.synthesis_window else None,
+        )
+        num_frames = frames.shape[-2]
+        pad = cfg.frame_spec.pad_amount
+        full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
+        norm = jnp.asarray(_norm_np(cfg, num_frames, full))
+        out = ola_normalized_auto(
+            out_frames, norm, cfg.hop_size, full, cfg.eps
+        )
+        return out[..., pad : pad + signal.shape[-1]]
     spec = stft(signal, cfg)
     if spectral_fn is not None:
         spec = spectral_fn(spec)
