@@ -85,7 +85,11 @@ def _normalize(
         if hop is None or hop <= 0:
             # Hop-less variant is plain L2 (WindowLUT.cc:358-386).
             return w / np.sqrt(wsq)
-        return w * np.sqrt(hop / wsq)
+        # Reference semantics (WindowLUT.cc:363-374): scale by
+        # 1/(sqrt(sum w^2) * sqrt(N/hop)), i.e. sum of the scaled window's
+        # squares becomes hop/N.
+        n = len(w)
+        return w * np.sqrt(hop / (wsq * n))
     raise ValueError(f"unknown normalization: {norm}")
 
 
@@ -164,3 +168,17 @@ def calculate_rms_error(a: np.ndarray, b: np.ndarray) -> float:
     if a64.size == 0:
         return 0.0
     return float(np.sqrt(np.mean(np.square(a64 - b64))))
+
+
+def calculate_ola_gain(window: np.ndarray, hop: int) -> float:
+    """Max over positions of the overlapped SQUARED-window sum
+    (reference: `calculateOLAGain`, WindowLUT.cc:390-413; unused by the
+    reference pipeline but part of its public surface)."""
+    w = np.asarray(window, dtype=np.float64)
+    n = len(w)
+    if hop <= 0:
+        raise ValueError("hop must be > 0")
+    gain = 0.0
+    for p in range(min(hop, n)):
+        gain = max(gain, float(np.square(w[p::hop]).sum()))
+    return gain

@@ -100,8 +100,9 @@ def test_ola_sum_wsq_with_hop():
     w = W.get_window(
         WindowType.HANN, n, norm=NormalizationType.OLA_SUM_WSQ, hop=hop
     )
-    # sum(w^2) == hop  =>  squared-window OLA sums to 1 per hop
-    assert W.calculate_sum_of_squares(w) == pytest.approx(hop, rel=1e-6)
+    # Reference scaling (WindowLUT.cc:363-374): sum(w^2) == hop/N after
+    # normalization (scale = 1/(sqrt(sum w^2) * sqrt(N/hop))).
+    assert W.calculate_sum_of_squares(w) == pytest.approx(hop / n, rel=1e-6)
 
 
 def test_cache_identity_and_clear():
@@ -148,3 +149,12 @@ def test_invalid_size_raises():
         W.get_window(WindowType.HANN, 0)
     with pytest.raises(ValueError):
         W.get_window(WindowType.HANN, -4)
+
+
+def test_calculate_ola_gain():
+    # Hann periodic at 75% overlap: max overlapped sum of w^2 = 1.5
+    w = W.get_window(WindowType.HANN, 1024, periodic=True)
+    g = W.calculate_ola_gain(w, 256)
+    assert g == pytest.approx(1.5, rel=1e-3)
+    with pytest.raises(ValueError):
+        W.calculate_ola_gain(w, 0)
