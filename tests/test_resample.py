@@ -108,3 +108,31 @@ def test_invalid():
         resample(np.zeros(10, dtype=np.float32), 0, 48000)
     with pytest.raises(ValueError):
         resample(np.zeros((2, 3, 4), dtype=np.float32), 44100, 48000)
+
+
+def test_pallas_kernel_matches_conv_path():
+    import math
+
+    from crlot_tpu.resample.pallas_kernel import resample_pallas
+
+    sr_in, sr_out = 8000, 12000  # L=3, M=2
+    g = math.gcd(sr_in, sr_out)
+    l, m = sr_out // g, sr_in // g
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, 4000).astype(np.float32)
+    n_out = output_length(len(x), sr_in, sr_out)
+    want = np.asarray(resample(x, sr_in, sr_out))
+    got = np.asarray(resample_pallas(x, l, m, n_out, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_kernel_44k_48k():
+    from crlot_tpu.resample.pallas_kernel import resample_pallas
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-1, 1, 14700).astype(np.float32)
+    n_out = output_length(len(x), 44100, 48000)
+    want = np.asarray(resample(x, 44100, 48000))
+    got = np.asarray(resample_pallas(x, 160, 147, n_out, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
