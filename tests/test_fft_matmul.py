@@ -81,3 +81,44 @@ def test_pipeline_matmul_backend_snr():
     )
     y = np.asarray(round_trip(x, cfg))
     assert snr_db(x, y) > 90.0
+
+
+def test_packed_roundtrip_matches_complex_path():
+    import jax.numpy as jnp
+
+    from crlot_tpu.fft.matmul_backend import (
+        irfft_matmul,
+        rfft_windowed_matmul,
+        roundtrip_packed_matmul,
+    )
+    from crlot_tpu.window.windows import get_window
+    from crlot_tpu.core.types import WindowType
+
+    rng = np.random.default_rng(5)
+    frames = rng.uniform(-1, 1, (7, 1024)).astype(np.float32)
+    w64 = get_window(WindowType.HANN, 1024, True, dtype=np.float64)
+    via_complex = np.asarray(
+        irfft_matmul(rfft_windowed_matmul(jnp.asarray(frames), 1024, w64), 1024)
+    )
+    packed = np.asarray(roundtrip_packed_matmul(jnp.asarray(frames), 1024, w64))
+    # Identical matmuls, no complex interleave: bit-identical outputs.
+    np.testing.assert_array_equal(packed, via_complex)
+
+
+def test_packed_roundtrip_synthesis_window():
+    import jax.numpy as jnp
+
+    from crlot_tpu.fft.matmul_backend import roundtrip_packed_matmul
+    from crlot_tpu.window.windows import get_window
+    from crlot_tpu.core.types import WindowType
+
+    rng = np.random.default_rng(6)
+    frames = rng.uniform(-1, 1, (4, 512)).astype(np.float32)
+    w64 = get_window(WindowType.HANN, 512, True, dtype=np.float64)
+    got = np.asarray(
+        roundtrip_packed_matmul(jnp.asarray(frames), 512, w64, w64)
+    )
+    want = np.fft.irfft(
+        np.fft.rfft(frames.astype(np.float64) * w64, axis=-1), axis=-1
+    ) * w64
+    assert np.max(np.abs(got - want)) < 1e-4
