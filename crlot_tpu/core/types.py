@@ -76,6 +76,19 @@ class FftDomain(enum.Enum):
     COMPLEX = "complex"
 
 
+class FftPrecision(enum.Enum):
+    """Matmul accumulation tier for the DFT bases on TPU.
+
+    HIGHEST ~= true f32 (six bf16 passes): ~141 dB round-trip SNR.
+    HIGH = three bf16 passes: ~95 dB round-trip SNR at ~8x the throughput
+    (measured on v5e) — still 35 dB above the reference's 60 dB gate and
+    comparable to 16-bit audio dynamic range, so it is the default.
+    """
+
+    HIGHEST = "highest"
+    HIGH = "high"
+
+
 class FftBackend(enum.Enum):
     """Which lowering the FFT uses (reference has one backend, kissfft,
     selected by a bazel config_setting `FFT_BACKEND=kissfft`,
@@ -233,6 +246,7 @@ class StftConfig:
     pad_mode: PadMode = PadMode.REFLECT
     eps: float = 1e-8
     fft_backend: FftBackend = FftBackend.AUTO
+    fft_precision: FftPrecision = FftPrecision.HIGH
 
     def __post_init__(self) -> None:
         if self.frame_size <= 0 or self.frame_size % 2 != 0:

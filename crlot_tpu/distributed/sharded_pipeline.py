@@ -71,10 +71,16 @@ def _block_round_trip(
         (global_start + n <= total_len) & (global_start >= valid_start)
     )[None, :, None]
 
-    spec = _fft.rfft_windowed(frames, n, window_f64, backend=cfg.fft_backend)
+    spec = _fft.rfft_windowed(
+        frames, n, window_f64, backend=cfg.fft_backend,
+        precision=_fft.to_lax_precision(cfg.fft_precision),
+    )
     if spectral_fn is not None:
         spec = spectral_fn(spec)
-    out_frames = _fft.irfft(spec, n, backend=cfg.fft_backend)
+    out_frames = _fft.irfft(
+        spec, n, backend=cfg.fft_backend,
+        precision=_fft.to_lax_precision(cfg.fft_precision),
+    )
     if cfg.synthesis_window:
         out_frames = out_frames * jnp.asarray(
             window_f64.astype(np.float32)

@@ -13,9 +13,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.types import FftBackend
+import jax as _jax
+
+from ..core.types import FftBackend, FftPrecision
 from . import ct_backend as _ct
 from . import matmul_backend as _mm
+
+
+def to_lax_precision(p):
+    """Map FftPrecision (or None) to jax.lax.Precision (None = backend default)."""
+    if p is None:
+        return None
+    if p == FftPrecision.HIGH:
+        return _jax.lax.Precision.HIGH
+    return _jax.lax.Precision.HIGHEST
 
 
 def _is_pow2(n: int) -> bool:
@@ -34,37 +45,39 @@ def _pick(backend: FftBackend, nfft: int) -> FftBackend:
     return FftBackend.XLA
 
 
-def _mm_rfft(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
+def _mm_rfft(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     # Direct DFT matmul up to the basis-size cap; two-stage Cooley-Tukey
     # matmuls beyond (power-of-two sizes).
     if nfft <= _mm.MAX_MATMUL_NFFT:
-        return _mm.rfft_matmul(x, nfft)
+        return _mm.rfft_matmul(x, nfft, precision)
     if _is_pow2(nfft):
         return _ct.rfft_ct(x, nfft)
     return jnp.fft.rfft(x, n=nfft, axis=-1)
 
 
-def _mm_irfft(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
+def _mm_irfft(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     if nfft <= _mm.MAX_MATMUL_NFFT:
-        return _mm.irfft_matmul(x, nfft)
+        return _mm.irfft_matmul(x, nfft, precision)
     if _is_pow2(nfft):
         return _ct.irfft_ct(x, nfft)
     return jnp.fft.irfft(x, n=nfft, axis=-1)
 
 
 def rfft(
-    x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO
+    x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO,
+    precision=None,
 ) -> jnp.ndarray:
     if _pick(backend, nfft) == FftBackend.MATMUL:
-        return _mm_rfft(x, nfft)
+        return _mm_rfft(x, nfft, precision)
     return jnp.fft.rfft(x, n=nfft, axis=-1)
 
 
 def irfft(
-    x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO
+    x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO,
+    precision=None,
 ) -> jnp.ndarray:
     if _pick(backend, nfft) == FftBackend.MATMUL:
-        return _mm_irfft(x, nfft)
+        return _mm_irfft(x, nfft, precision)
     return jnp.fft.irfft(x, n=nfft, axis=-1)
 
 
@@ -76,6 +89,7 @@ def rfft_windowed(
     nfft: int,
     window_f64,
     backend: FftBackend = FftBackend.AUTO,
+    precision=None,
 ) -> jnp.ndarray:
     """rfft(x * window): on the direct-matmul path the window folds into the
     DFT basis (zero-cost); other paths multiply then transform.
@@ -88,9 +102,9 @@ def rfft_windowed(
     from . import matmul_backend as _mmb
 
     if _pick(backend, nfft) == FftBackend.MATMUL and nfft <= _mm.MAX_MATMUL_NFFT:
-        return _mmb.rfft_windowed_matmul(x, nfft, window_f64)
+        return _mmb.rfft_windowed_matmul(x, nfft, window_f64, precision)
     w = jnp.asarray(np.asarray(window_f64, dtype=np.float32))
-    return rfft(x * w, nfft, backend)
+    return rfft(x * w, nfft, backend, precision)
 
 
 def fft_complex(

@@ -26,15 +26,20 @@ import numpy as np
 
 MAX_MATMUL_NFFT = 4096
 
-# Matmul accumulation tier: HIGHEST ~= f32 (bf16x6 passes), HIGH ~= bf16x3
-# (roughly 2x faster, ~80 dB round-trip SNR). Set via set_precision().
+# Default matmul accumulation tier when callers pass precision=None:
+# HIGHEST ~= f32 (six bf16 passes, ~141 dB SNR), HIGH = three passes
+# (~8x faster, ~95 dB SNR). Pipelines pass their config's tier explicitly.
 PRECISION = jax.lax.Precision.HIGHEST
 
 
 def set_precision(p) -> None:
-    """Module-wide matmul precision for the DFT bases (HIGHEST default)."""
+    """Module-wide default matmul precision for the DFT bases."""
     global PRECISION
     PRECISION = p
+
+
+def _prec(precision):
+    return PRECISION if precision is None else precision
 
 
 @lru_cache(maxsize=None)
@@ -62,21 +67,21 @@ def _inverse_basis(nfft: int) -> np.ndarray:
     return np.concatenate([cos_part, sin_part], axis=0).astype(np.float32)
 
 
-def rfft_matmul(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
+def rfft_matmul(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     """Real [..., nfft] -> complex64 [..., nfft//2+1] via one MXU matmul."""
     basis = jnp.asarray(_forward_basis(nfft))
     flat = jnp.dot(
-        x.astype(jnp.float32), basis, precision=PRECISION
+        x.astype(jnp.float32), basis, precision=_prec(precision)
     )
     kk = nfft // 2 + 1
     return jax.lax.complex(flat[..., :kk], flat[..., kk:])
 
 
-def irfft_matmul(spec: jnp.ndarray, nfft: int) -> jnp.ndarray:
+def irfft_matmul(spec: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     """Complex [..., nfft//2+1] -> real [..., nfft] (includes 1/N)."""
     basis = jnp.asarray(_inverse_basis(nfft))
     ri = jnp.concatenate([spec.real, spec.imag], axis=-1).astype(jnp.float32)
-    return jnp.dot(ri, basis, precision=PRECISION)
+    return jnp.dot(ri, basis, precision=_prec(precision))
 
 
 @lru_cache(maxsize=None)
@@ -92,14 +97,14 @@ def _windowed_forward_basis(nfft: int, window_bytes: bytes) -> np.ndarray:
 
 
 def rfft_windowed_matmul(
-    x: jnp.ndarray, nfft: int, window_f64: np.ndarray
+    x: jnp.ndarray, nfft: int, window_f64: np.ndarray, precision=None
 ) -> jnp.ndarray:
     """rfft(x * window) as ONE matmul on unwindowed frames."""
     basis = jnp.asarray(
         _windowed_forward_basis(nfft, np.asarray(window_f64, np.float64).tobytes())
     )
     flat = jnp.dot(
-        x.astype(jnp.float32), basis, precision=PRECISION
+        x.astype(jnp.float32), basis, precision=_prec(precision)
     )
     kk = nfft // 2 + 1
     return jax.lax.complex(flat[..., :kk], flat[..., kk:])
@@ -119,6 +124,7 @@ def roundtrip_packed_matmul(
     nfft: int,
     analysis_window_f64: np.ndarray,
     synthesis_window_f64=None,
+    precision=None,
 ) -> jnp.ndarray:
     """irfft(rfft(frames * w)) as two matmuls with NO complex dtype.
 
@@ -136,6 +142,6 @@ def roundtrip_packed_matmul(
     else:
         inv = jnp.asarray(_inverse_basis(nfft))
     packed = jnp.dot(
-        frames.astype(jnp.float32), fwd, precision=PRECISION
+        frames.astype(jnp.float32), fwd, precision=_prec(precision)
     )
-    return jnp.dot(packed, inv, precision=PRECISION)
+    return jnp.dot(packed, inv, precision=_prec(precision))

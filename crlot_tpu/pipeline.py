@@ -53,7 +53,8 @@ def stft(signal: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
     """
     frames = frame_windowed(signal, cfg.frame_spec, None)
     return _fft.rfft_windowed(
-        frames, cfg.frame_size, _window_f64(cfg), backend=cfg.fft_backend
+        frames, cfg.frame_size, _window_f64(cfg), backend=cfg.fft_backend,
+        precision=_fft.to_lax_precision(cfg.fft_precision),
     )
 
 
@@ -68,7 +69,10 @@ def istft(
     (minus center padding when cfg.center).
     """
     num_frames = spec.shape[-2]
-    frames = _fft.irfft(spec, cfg.frame_size, backend=cfg.fft_backend)
+    frames = _fft.irfft(
+        spec, cfg.frame_size, backend=cfg.fft_backend,
+        precision=_fft.to_lax_precision(cfg.fft_precision),
+    )
     if cfg.synthesis_window:
         frames = frames * jnp.asarray(_window_np(cfg))
     pad = cfg.frame_spec.pad_amount
@@ -113,6 +117,7 @@ def round_trip(
         out_frames = roundtrip_packed_matmul(
             frames, cfg.frame_size, w64,
             w64 if cfg.synthesis_window else None,
+            precision=_fft.to_lax_precision(cfg.fft_precision),
         )
         num_frames = frames.shape[-2]
         pad = cfg.frame_spec.pad_amount

@@ -61,8 +61,14 @@ def streaming_round_trip_blocks(
     def step(carry_tail, frames):
         # frames: [block_frames, N]; window folds into the DFT basis on the
         # matmul path (same code path as pipeline.stft for bit-consistency)
-        spec = _fft.rfft_windowed(frames, n, window_f64, backend=cfg.fft_backend)
-        out_f = _fft.irfft(spec, n, backend=cfg.fft_backend)
+        spec = _fft.rfft_windowed(
+            frames, n, window_f64, backend=cfg.fft_backend,
+            precision=_fft.to_lax_precision(cfg.fft_precision),
+        )
+        out_f = _fft.irfft(
+            spec, n, backend=cfg.fft_backend,
+            precision=_fft.to_lax_precision(cfg.fft_precision),
+        )
         if cfg.synthesis_window:
             out_f = out_f * window
         acc = overlap_add(
