@@ -27,7 +27,11 @@ def _time(fn, x, reps=5, k_small=2, k_big=12):
         def chained(s0, xx):
             def body(s, _):
                 out = fn(xx + s)
-                probe = out.reshape(-1)[0]
+                # Probe with a FULL reduction: a single-element probe lets
+                # XLA dead-code-eliminate everything not feeding that
+                # element (it slices straight through matmuls), silently
+                # benchmarking a tiny sliced program.
+                probe = jnp.sum(out)
                 if jnp.iscomplexobj(probe):
                     probe = probe.real
                 return probe.astype(jnp.float32) * 1e-30, ()

@@ -60,7 +60,8 @@ def roundtrip_traffic(frame_size: int, hop: int, matmul_fft: bool = True) -> Pip
     bytes_out_frames = 2 * 4 * r
     b = 4 + bytes_frames + bytes_spec + bytes_out_frames + 4 + 4
     if matmul_fft:
-        flops_per_frame = 2 * 2 * frame_size * (frame_size + 2) * 2
+        # 2 FLOP per MAC x [N x (N+2)] basis, two directions.
+        flops_per_frame = 2 * frame_size * (frame_size + 2) * 2
     else:
         flops_per_frame = 2 * 5 * frame_size * math.log2(frame_size)
     f = flops_per_frame / hop + 10  # + window/ola/normalize elementwise
@@ -69,20 +70,26 @@ def roundtrip_traffic(frame_size: int, hop: int, matmul_fft: bool = True) -> Pip
 
 def roofline_samples_per_sec(
     frame_size: int, hop: int, matmul_fft: bool = True,
-    device_kind: Optional[str] = None,
+    device_kind: Optional[str] = None, precision: str = "high",
 ) -> dict:
     """Speed-of-light samples/s for the round-trip on this device: the min of
-    the HBM-bandwidth bound and the compute bound, with both reported."""
+    the HBM-bandwidth bound and the compute bound, with both reported.
+
+    precision: 'high' (bf16x3 DFT matmuls, the pipeline default — compute
+    peak ~ bf16/3) or 'highest' (bf16x6 ~ f32 peak).
+    """
     hbm, bf16, f32 = device_specs(device_kind)
     t = roundtrip_traffic(frame_size, hop, matmul_fft)
+    compute_peak = bf16 / 3.0 if precision == "high" else f32
     bw_bound = hbm / t.bytes_per_sample
-    compute_bound = f32 / t.flops_per_sample
+    compute_bound = compute_peak / t.flops_per_sample
     return {
         "bandwidth_bound_samples_per_sec": bw_bound,
         "compute_bound_samples_per_sec": compute_bound,
         "roofline_samples_per_sec": min(bw_bound, compute_bound),
         "bytes_per_sample": t.bytes_per_sample,
         "flops_per_sample": t.flops_per_sample,
+        "precision": precision,
     }
 
 
