@@ -92,3 +92,14 @@ def test_mesh_helpers():
 def test_dryrun_hook():
     dryrun(8)
     dryrun(3)
+
+
+def test_sharded_synthesis_window_mode():
+    cfg = StftConfig(
+        frame_size=128, hop_size=32, center=False, synthesis_window=True
+    )
+    mesh = make_mesh(channel=2, time=4)
+    x = _sig(2, 4096, seed=9)
+    want = np.asarray(round_trip(jnp.asarray(x), cfg))
+    got = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh))
+    np.testing.assert_array_equal(got, want)
