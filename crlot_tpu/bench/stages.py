@@ -106,5 +106,73 @@ def main(seconds=60, n=1024, hop=256):
                       for k, v in results.items()}))
 
 
+def main_pipeline(seconds=60, n=1024, hop=256):
+    """Time the REAL round-trip decomposition (not generic analogs): actual
+    framing, the folded DFT matmuls, and the fused OLA drain, plus the full
+    round_trip for cross-checking that the stage sum accounts for it."""
+    from ..core.types import StftConfig
+    from ..fft import dispatch as _fftd
+    from ..fft.matmul_backend import (
+        irfft_folded_parts,
+        rfft_folded_packed,
+        roundtrip_folded_matmul,
+    )
+    from ..frame.framing import frame_signal
+    from ..ola.fused import ola_normalized_auto
+    from ..ola.norm import edge_norm
+    from ..pipeline import _window_f64, round_trip
+    from ..window.windows import get_window
+
+    sr = 48000
+    total = sr * seconds
+    cfg = StftConfig(frame_size=n, hop_size=hop, center=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, total).astype(np.float32))
+    w64 = _window_f64(cfg)
+    prec = _fftd.to_lax_precision(cfg.fft_precision)
+
+    frames_np = rng.uniform(-1, 1, ((total // hop) + 1, n)).astype(np.float32)
+    frames = jnp.asarray(frames_np)
+    f = frames.shape[0]
+    full = (f - 1) * hop + n
+    norm = jnp.asarray(
+        edge_norm(np.asarray(w64), hop, f, full).astype(np.float32)
+    )
+    re_im = rfft_folded_packed(frames, n, jnp.asarray(w64.astype(np.float32)))
+
+    results = {}
+    results["frame_signal_ms"] = _time(
+        lambda s: frame_signal(s, cfg.frame_spec), x
+    ) * 1e3
+    results["fwd_folded_ms"] = _time(
+        lambda fr: jnp.concatenate(
+            rfft_folded_packed(fr, n, None, prec), axis=-1
+        ),
+        frames,
+    ) * 1e3
+    results["inv_folded_ms"] = _time(
+        lambda p: irfft_folded_parts(
+            p[..., : n // 2 + 1], p[..., n // 2 + 1 :], n, prec
+        ),
+        jnp.concatenate(re_im, axis=-1),
+    ) * 1e3
+    results["rt_folded_ms"] = _time(
+        lambda fr: roundtrip_folded_matmul(fr, n, w64, None, prec), frames
+    ) * 1e3
+    results["ola_fused_ms"] = _time(
+        lambda fr: ola_normalized_auto(fr, norm, hop, full, 1e-8), frames
+    ) * 1e3
+    results["round_trip_ms"] = _time(lambda s: round_trip(s, cfg), x) * 1e3
+    results["frames"] = f
+    results["backend"] = jax.default_backend()
+    print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
+                      for k, v in results.items()}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--pipeline" in sys.argv:
+        main_pipeline()
+    else:
+        main()

@@ -49,6 +49,8 @@ def _mm_rfft(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     # Direct DFT matmul up to the basis-size cap; two-stage Cooley-Tukey
     # matmuls beyond (power-of-two sizes).
     if nfft <= _mm.MAX_MATMUL_NFFT:
+        if nfft % 2 == 0:
+            return _mm.rfft_folded(x, nfft, precision)
         return _mm.rfft_matmul(x, nfft, precision)
     if _is_pow2(nfft):
         return _ct.rfft_ct(x, nfft)
@@ -57,6 +59,8 @@ def _mm_rfft(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
 
 def _mm_irfft(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     if nfft <= _mm.MAX_MATMUL_NFFT:
+        if nfft % 2 == 0:
+            return _mm.irfft_folded(x, nfft, precision)
         return _mm.irfft_matmul(x, nfft, precision)
     if _is_pow2(nfft):
         return _ct.irfft_ct(x, nfft)
@@ -102,6 +106,8 @@ def rfft_windowed(
     from . import matmul_backend as _mmb
 
     if _pick(backend, nfft) == FftBackend.MATMUL and nfft <= _mm.MAX_MATMUL_NFFT:
+        if nfft % 2 == 0:
+            return _mmb.rfft_windowed_folded(x, nfft, window_f64, precision)
         return _mmb.rfft_windowed_matmul(x, nfft, window_f64, precision)
     w = jnp.asarray(np.asarray(window_f64, dtype=np.float32))
     return rfft(x * w, nfft, backend, precision)

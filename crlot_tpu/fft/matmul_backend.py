@@ -119,6 +119,144 @@ def _windowed_inverse_basis(nfft: int, window_bytes: bytes) -> np.ndarray:
     return (base * w[None, :]).astype(np.float32)
 
 
+@lru_cache(maxsize=None)
+def _folded_forward_consts(nfft: int):
+    """Half-size forward bases exploiting DFT-row symmetry.
+
+    The direct basis B (cols [cos | -sin]) satisfies B[N-n, :K] = B[n, :K]
+    and B[N-n, K:] = -B[n, K:], so folding the frame into even/odd parts
+    halves the matmul contraction dim — and therefore the DFT FLOPs —
+    exactly, with identical f64-designed numerics.
+
+    Returns C [N/2+1, K] (cos rows for n = 0..N/2; row 0 is all-ones, row
+    N/2 is (-1)^k) and S [N/2-1, K] (-sin rows for n = 1..N/2-1).
+    """
+    kk = nfft // 2 + 1
+    k = np.arange(kk, dtype=np.float64)
+    n_e = np.arange(nfft // 2 + 1, dtype=np.float64)
+    n_o = np.arange(1, nfft // 2, dtype=np.float64)
+    c = np.cos(2.0 * np.pi * np.outer(n_e, k) / nfft)
+    s = -np.sin(2.0 * np.pi * np.outer(n_o, k) / nfft)
+    return c.astype(np.float32), s.astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _folded_inverse_consts(nfft: int):
+    """Half-size inverse bases (hermitian weights and 1/N included).
+
+    A = Re(X) @ Cinv gives x[0], (x[n]+x[N-n])/2 for n = 1..N/2-1, x[N/2];
+    B = Im(X) @ Sinv gives (x[n]-x[N-n])/2 for n = 1..N/2-1.
+    """
+    kk = nfft // 2 + 1
+    k = np.arange(kk, dtype=np.float64)
+    w = np.full(kk, 2.0)
+    w[0] = 1.0
+    if nfft % 2 == 0:
+        w[-1] = 1.0
+    n_e = np.arange(nfft // 2 + 1, dtype=np.float64)
+    n_o = np.arange(1, nfft // 2, dtype=np.float64)
+    cinv = (w[:, None] * np.cos(2.0 * np.pi * np.outer(k, n_e) / nfft)) / nfft
+    sinv = -(w[:, None] * np.sin(2.0 * np.pi * np.outer(k, n_o) / nfft)) / nfft
+    return cinv.astype(np.float32), sinv.astype(np.float32)
+
+
+def _fold_frames(y: jnp.ndarray, nfft: int):
+    """[..., N] -> even part [..., N/2+1], odd part [..., N/2-1]."""
+    h = nfft // 2
+    head = y[..., 1:h]
+    tail = jnp.flip(y[..., h + 1 :], axis=-1)
+    even = jnp.concatenate(
+        [y[..., :1], head + tail, y[..., h : h + 1]], axis=-1
+    )
+    odd = head - tail
+    return even, odd
+
+
+def rfft_folded_packed(
+    x: jnp.ndarray, nfft: int, window_f32=None, precision=None
+):
+    """rfft(x [* window]) -> (Re [..., K], Im [..., K]) via two half-size
+    MXU matmuls (half the FLOPs of the direct [N, 2K] basis)."""
+    cb, sb = _folded_forward_consts(nfft)
+    y = x.astype(jnp.float32)
+    if window_f32 is not None:
+        y = y * window_f32
+    even, odd = _fold_frames(y, nfft)
+    re = jnp.dot(even, jnp.asarray(cb), precision=_prec(precision))
+    if sb.shape[0]:
+        im = jnp.dot(odd, jnp.asarray(sb), precision=_prec(precision))
+    else:
+        im = jnp.zeros(re.shape, re.dtype)
+    return re, im
+
+
+def irfft_folded_parts(
+    re: jnp.ndarray, im: jnp.ndarray, nfft: int, precision=None
+) -> jnp.ndarray:
+    """(Re, Im) [..., K] -> real [..., N] (includes 1/N) via two half-size
+    matmuls plus an elementwise unfold."""
+    cinv, sinv = _folded_inverse_consts(nfft)
+    a = jnp.dot(
+        re.astype(jnp.float32), jnp.asarray(cinv), precision=_prec(precision)
+    )
+    h = nfft // 2
+    if sinv.shape[1]:
+        b = jnp.dot(
+            im.astype(jnp.float32), jnp.asarray(sinv),
+            precision=_prec(precision),
+        )
+        mid = a[..., 1:h]
+        return jnp.concatenate(
+            [
+                a[..., :1],
+                mid + b,
+                a[..., h : h + 1],
+                jnp.flip(mid - b, axis=-1),
+            ],
+            axis=-1,
+        )
+    return a  # nfft == 2: output is [x0, x1] = [A0, A1]
+
+
+def rfft_folded(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
+    """Real [..., nfft] -> complex64 [..., K] via the folded half-bases."""
+    re, im = rfft_folded_packed(x, nfft, None, precision)
+    return jax.lax.complex(re, im)
+
+
+def irfft_folded(spec: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
+    """Complex [..., K] -> real [..., nfft] via the folded half-bases."""
+    return irfft_folded_parts(spec.real, spec.imag, nfft, precision)
+
+
+def rfft_windowed_folded(
+    x: jnp.ndarray, nfft: int, window_f64: np.ndarray, precision=None
+) -> jnp.ndarray:
+    """rfft(x * window) -> complex64 via the folded half-bases."""
+    w = jnp.asarray(np.asarray(window_f64, np.float32))
+    re, im = rfft_folded_packed(x, nfft, w, precision)
+    return jax.lax.complex(re, im)
+
+
+def roundtrip_folded_matmul(
+    frames: jnp.ndarray,
+    nfft: int,
+    analysis_window_f64: np.ndarray,
+    synthesis_window_f64=None,
+    precision=None,
+) -> jnp.ndarray:
+    """irfft(rfft(frames * w)) with all four matmuls at half contraction
+    size and no complex dtype: Re/Im stay as separate packed-real arrays
+    between the forward and inverse half-bases. Exactly half the MXU FLOPs
+    of roundtrip_packed_matmul."""
+    w = jnp.asarray(np.asarray(analysis_window_f64, np.float32))
+    re, im = rfft_folded_packed(frames, nfft, w, precision)
+    out = irfft_folded_parts(re, im, nfft, precision)
+    if synthesis_window_f64 is not None:
+        out = out * jnp.asarray(np.asarray(synthesis_window_f64, np.float32))
+    return out
+
+
 def roundtrip_packed_matmul(
     frames: jnp.ndarray,
     nfft: int,

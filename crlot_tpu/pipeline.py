@@ -100,7 +100,11 @@ def round_trip(
     import jax
 
     from .core.types import FftBackend
-    from .fft.matmul_backend import MAX_MATMUL_NFFT, roundtrip_packed_matmul
+    from .fft.matmul_backend import (
+        MAX_MATMUL_NFFT,
+        roundtrip_folded_matmul,
+        roundtrip_packed_matmul,
+    )
     from .frame.framing import frame_signal
     from .ola.fused import ola_normalized_auto
 
@@ -114,7 +118,12 @@ def round_trip(
     if use_packed:
         frames = frame_signal(signal, cfg.frame_spec)
         w64 = _window_f64(cfg)
-        out_frames = roundtrip_packed_matmul(
+        rt = (
+            roundtrip_folded_matmul
+            if cfg.frame_size % 2 == 0
+            else roundtrip_packed_matmul
+        )
+        out_frames = rt(
             frames, cfg.frame_size, w64,
             w64 if cfg.synthesis_window else None,
             precision=_fft.to_lax_precision(cfg.fft_precision),

@@ -122,3 +122,89 @@ def test_packed_roundtrip_synthesis_window():
         np.fft.rfft(frames.astype(np.float64) * w64, axis=-1), axis=-1
     ) * w64
     assert np.max(np.abs(got - want)) < 1e-4
+
+
+FOLDED_SIZES = [2, 4, 8, 48, 256, 1000, 1024, 4096]
+
+
+@pytest.mark.parametrize("nfft", FOLDED_SIZES)
+def test_folded_forward_matches_numpy(nfft):
+    import jax.numpy as jnp
+
+    from crlot_tpu.fft.matmul_backend import rfft_folded
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (4, nfft)).astype(np.float32)
+    got = np.asarray(rfft_folded(jnp.asarray(x), nfft))
+    want = np.fft.rfft(x.astype(np.float64), axis=-1)
+    err = np.sqrt(np.mean(np.abs(got - want) ** 2)) / np.sqrt(nfft)
+    assert err < 1e-5, f"N={nfft}: folded rfft err {err}"
+
+
+@pytest.mark.parametrize("nfft", FOLDED_SIZES)
+def test_folded_round_trip_rmse(nfft):
+    import jax.numpy as jnp
+
+    from crlot_tpu.fft.matmul_backend import irfft_folded, rfft_folded
+
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-1, 1, (4, nfft)).astype(np.float32)
+    y = np.asarray(irfft_folded(rfft_folded(jnp.asarray(x), nfft), nfft))
+    rmse = np.sqrt(np.mean((x - y) ** 2))
+    assert rmse < 1e-5, f"N={nfft}: folded rmse {rmse}"
+
+
+def test_folded_roundtrip_matches_packed():
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.types import WindowType
+    from crlot_tpu.fft.matmul_backend import (
+        roundtrip_folded_matmul,
+        roundtrip_packed_matmul,
+    )
+    from crlot_tpu.window.windows import get_window
+
+    rng = np.random.default_rng(9)
+    frames = rng.uniform(-1, 1, (7, 1024)).astype(np.float32)
+    w64 = get_window(WindowType.HANN, 1024, True, dtype=np.float64)
+    packed = np.asarray(roundtrip_packed_matmul(jnp.asarray(frames), 1024, w64))
+    folded = np.asarray(roundtrip_folded_matmul(jnp.asarray(frames), 1024, w64))
+    # Same transform through half-size bases: equal to f32 round-off.
+    assert np.max(np.abs(folded - packed)) < 1e-5
+
+
+def test_folded_roundtrip_synthesis_window():
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.types import WindowType
+    from crlot_tpu.fft.matmul_backend import roundtrip_folded_matmul
+    from crlot_tpu.window.windows import get_window
+
+    rng = np.random.default_rng(10)
+    frames = rng.uniform(-1, 1, (4, 512)).astype(np.float32)
+    w64 = get_window(WindowType.HANN, 512, True, dtype=np.float64)
+    got = np.asarray(roundtrip_folded_matmul(jnp.asarray(frames), 512, w64, w64))
+    want = np.fft.irfft(
+        np.fft.rfft(frames.astype(np.float64) * w64, axis=-1), axis=-1
+    ) * w64
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_dispatch_matmul_uses_folded_for_even_sizes():
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.types import FftBackend
+    from crlot_tpu.fft.dispatch import irfft, rfft
+    from crlot_tpu.fft.matmul_backend import irfft_folded, rfft_folded
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-1, 1, (3, 512)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(rfft(x, 512, FftBackend.MATMUL)),
+        np.asarray(rfft_folded(x, 512)),
+    )
+    spec = rfft_folded(x, 512)
+    np.testing.assert_array_equal(
+        np.asarray(irfft(spec, 512, FftBackend.MATMUL)),
+        np.asarray(irfft_folded(spec, 512)),
+    )
