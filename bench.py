@@ -89,6 +89,10 @@ def main() -> None:
     per_iter = _measure(fn_one, x)
     samples_per_sec = total / per_iter
 
+    from crlot_tpu.profiling import roofline_samples_per_sec
+
+    roof = roofline_samples_per_sec(cfg.frame_size, cfg.hop_size)
+
     print(
         json.dumps(
             {
@@ -99,6 +103,9 @@ def main() -> None:
                 "snr_db": round(snr, 1),
                 "device_ms_per_60s_audio": round(per_iter * 1e3, 3),
                 "audio_seconds": seconds,
+                "roofline_pct": round(
+                    100 * samples_per_sec / roof["roofline_samples_per_sec"], 1
+                ),
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0].device_kind),
             }

@@ -106,10 +106,14 @@ def main(seconds=60, n=1024, hop=256):
                       for k, v in results.items()}))
 
 
-def main_pipeline(seconds=60, n=1024, hop=256):
+def main_pipeline(seconds=60, n=1024, hop=256, only=None):
     """Time the REAL round-trip decomposition (not generic analogs): actual
     framing, the folded DFT matmuls, and the fused OLA drain, plus the full
-    round_trip for cross-checking that the stage sum accounts for it."""
+    round_trip for cross-checking that the stage sum accounts for it.
+
+    Emits one JSON line PER stage as it completes (the remote tunnel can hang
+    mid-run; partial results must survive a timeout). `only` restricts to a
+    comma-separated stage subset."""
     from ..core.types import StftConfig
     from ..fft import dispatch as _fftd
     from ..fft.matmul_backend import (
@@ -140,39 +144,44 @@ def main_pipeline(seconds=60, n=1024, hop=256):
     )
     re_im = rfft_folded_packed(frames, n, jnp.asarray(w64.astype(np.float32)))
 
-    results = {}
-    results["frame_signal_ms"] = _time(
-        lambda s: frame_signal(s, cfg.frame_spec), x
-    ) * 1e3
-    results["fwd_folded_ms"] = _time(
-        lambda fr: jnp.concatenate(
-            rfft_folded_packed(fr, n, None, prec), axis=-1
+    stages = {
+        "frame_signal": (lambda s: frame_signal(s, cfg.frame_spec), x),
+        "fwd_folded": (
+            lambda fr: jnp.concatenate(
+                rfft_folded_packed(fr, n, None, prec), axis=-1
+            ),
+            frames,
         ),
-        frames,
-    ) * 1e3
-    results["inv_folded_ms"] = _time(
-        lambda p: irfft_folded_parts(
-            p[..., : n // 2 + 1], p[..., n // 2 + 1 :], n, prec
+        "inv_folded": (
+            lambda p: irfft_folded_parts(
+                p[..., : n // 2 + 1], p[..., n // 2 + 1 :], n, prec
+            ),
+            jnp.concatenate(re_im, axis=-1),
         ),
-        jnp.concatenate(re_im, axis=-1),
-    ) * 1e3
-    results["rt_folded_ms"] = _time(
-        lambda fr: roundtrip_folded_matmul(fr, n, w64, None, prec), frames
-    ) * 1e3
-    results["ola_fused_ms"] = _time(
-        lambda fr: ola_normalized_auto(fr, norm, hop, full, 1e-8), frames
-    ) * 1e3
-    results["round_trip_ms"] = _time(lambda s: round_trip(s, cfg), x) * 1e3
-    results["frames"] = f
-    results["backend"] = jax.default_backend()
-    print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
-                      for k, v in results.items()}))
+        "rt_folded": (
+            lambda fr: roundtrip_folded_matmul(fr, n, w64, None, prec), frames
+        ),
+        "ola_fused": (
+            lambda fr: ola_normalized_auto(fr, norm, hop, full, 1e-8), frames
+        ),
+        "round_trip": (lambda s: round_trip(s, cfg), x),
+    }
+    wanted = set(only.split(",")) if only else set(stages)
+    for name, (fn, arg) in stages.items():
+        if name not in wanted:
+            continue
+        ms = _time(fn, arg, reps=7, k_small=40, k_big=200) * 1e3
+        print(json.dumps({f"{name}_ms": round(ms, 4), "frames": f,
+                          "backend": jax.default_backend()}), flush=True)
 
 
 if __name__ == "__main__":
     import sys
 
     if "--pipeline" in sys.argv:
-        main_pipeline()
+        only = None
+        if "--only" in sys.argv:
+            only = sys.argv[sys.argv.index("--only") + 1]
+        main_pipeline(only=only)
     else:
         main()

@@ -24,16 +24,24 @@ from .stages import _time
 
 
 def bench_fft(results: Dict[str, float]) -> None:
+    from ..fft import dispatch as _fft
+
     rng = np.random.default_rng(0)
     for nfft in (512, 1024, 2048):
         for batch in (1, 4, 64):
             x = rng.uniform(-1, 1, (batch, nfft)).astype(np.float32)
 
             def fwd_inv(v):
+                # Backend-dispatched path (folded matmul DFT on TPU).
+                return _fft.irfft(_fft.rfft(v, nfft), nfft)
+
+            def fwd_inv_xla(v):
                 return jnp.fft.irfft(jnp.fft.rfft(v, axis=-1), n=nfft, axis=-1)
 
             us = _time(fwd_inv, x) * 1e6
             results[f"fft_roundtrip_n{nfft}_b{batch}_us"] = round(us, 2)
+            us = _time(fwd_inv_xla, x) * 1e6
+            results[f"fft_roundtrip_xla_n{nfft}_b{batch}_us"] = round(us, 2)
 
 
 def bench_kernels(results: Dict[str, float]) -> None:
@@ -96,11 +104,49 @@ def bench_multichannel(results: Dict[str, float]) -> None:
     results["mc64_msamples_per_s"] = round(total / sec / 1e6, 1)
 
 
+def bench_sweep(results: Dict[str, float]) -> None:
+    """BASELINE config 2: large-frame sweep, FFT 256..16384, hop ratios
+    1/2 and 1/4, round-trip ms + SNR (Hann, COLA-normalized)."""
+    from ..core.types import StftConfig
+    from ..metrics import snr_db
+    from ..pipeline import round_trip
+
+    sr = 48000
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-0.9, 0.9, 4 * sr).astype(np.float32)
+    for n in (256, 1024, 4096, 16384):
+        for ratio in (2, 4):
+            cfg = StftConfig(frame_size=n, hop_size=n // ratio, center=True)
+            y = jax.jit(lambda s, c=cfg: round_trip(s, c))(x)
+            snr = snr_db(np.asarray(x), np.asarray(y))
+            sec = _time(lambda s, c=cfg: round_trip(s, c), x)
+            key = f"sweep_n{n}_r{ratio}"
+            results[f"{key}_gsamples_per_s"] = round(len(x) / sec / 1e9, 3)
+            results[f"{key}_snr_db"] = round(snr, 1)
+
+
+def bench_resample(results: Dict[str, float]) -> None:
+    """BASELINE config 3: polyphase resample chain 44.1k -> 48k -> 16k."""
+    from ..resample.polyphase import resample
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-0.9, 0.9, 44100 * 4).astype(np.float32)
+
+    def chain(v):
+        return resample(resample(v, 44100, 48000), 48000, 16000)
+
+    y = jax.jit(chain)(x)
+    sec = _time(chain, x)
+    results["resample_chain_4s_ms"] = round(sec * 1e3, 3)
+    results["resample_chain_msamples_per_s"] = round(len(x) / sec / 1e6, 1)
+    results["resample_chain_out_len"] = int(np.asarray(y).shape[-1])
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument(
-        "--suites", default="fft,kernels,ola,e2e,multichannel",
+        "--suites", default="fft,kernels,ola,e2e,multichannel,sweep,resample",
         help="comma-separated subset",
     )
     args = ap.parse_args(argv)
@@ -117,6 +163,10 @@ def main(argv=None) -> None:
         bench_e2e(results)
     if "multichannel" in suites:
         bench_multichannel(results)
+    if "sweep" in suites:
+        bench_sweep(results)
+    if "resample" in suites:
+        bench_resample(results)
     results["_backend"] = jax.default_backend()
     results["_wall_s"] = round(time.time() - t0, 1)
     line = json.dumps(results)

@@ -1,0 +1,263 @@
+"""Fully-fused STFT round-trip Pallas kernel: framing + windowed folded
+rDFT + inverse + unfold in ONE pass over HBM.
+
+Why: the XLA folded-matmul round-trip (matmul_backend.roundtrip_folded_matmul)
+materializes every elementwise stage ([F,N] frames, fold operands, packed
+spectrum, unfold) in HBM — ~8 full passes over the 46 MB frame matrix at
+N=1024/H=256, which measures HBM-bound at ~0.43 ms while the pure matmul
+compute bound is ~0.22 ms. This kernel keeps everything between the signal
+and the output frames in VMEM:
+
+  per frame tile [TM]:
+    DMA hop-block rows of the padded signal (bx) and of its per-block
+    lane-reversed copy (fbx) -> VMEM
+    build y[:, :N/2] (windowed frame low half) and z[:, :N/2] (windowed
+    REVERSED frame low half) from R/2 shifted block views each
+    fold:   e = [y0 | y[1:h]+z[:h-1] | y_h],  o = [0 | y[1:h]-z[:h-1] | 0]
+    matmul: Re = e @ C, Im = o @ S          (half-size forward bases)
+            A = Re @ Cinv, B = Im @ Sinv    (half-size inverse bases)
+    unfold: out[:, :K] = A + B;  out[:, K:] = (A - B) @ J
+    write out tile -> HBM
+
+Mosaic has no lane-reversal primitive, so the two reversals the folded DFT
+needs are handled structurally: the INPUT reversal comes from fbx (row-wise
+jnp.flip of the block matrix, one cheap XLA pass — reversed frame f chunk r
+== fbx[f + R-1-r], same ascending-row access pattern as the forward chunks),
+and the OUTPUT reversal is folded into the exchange-matrix matmul J (0/1
+entries, exact in bf16).
+
+Precision: matches the pipeline's HIGH tier by an explicit 3-pass bf16
+hi/lo split (a@b ~= ah@bh + ah@bl + al@bh) with f32 accumulation — measured
+slightly MORE accurate than XLA Precision.HIGH on the same operands. Bases
+are float64-designed (fft/matmul_backend consts), split into bf16 hi/lo on
+host.
+
+Reference parity: computes irfft(rfft(frame * window)) exactly like
+kissfft_adapter.cc:96-167 (including 1/N on the inverse); this is the hot
+path of bench/e2e_benchmark.cc:138-186.
+
+Constraints (else callers fall back to the XLA folded path):
+  nfft % hop == 0, (nfft//hop) % 2 == 0, hop % 128 == 0, nfft <= 1024
+  (bf16 hi/lo bases for N=2048 would need ~17 MB VMEM), f32 only.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .matmul_backend import _folded_forward_consts, _folded_inverse_consts
+
+_SUBLANES = 8
+_DEF_TILE = 128
+MAX_FUSED_NFFT = 1024
+
+
+def fused_rt_supported(nfft: int, hop: int) -> bool:
+    return (
+        nfft % 2 == 0
+        and 4 <= nfft <= MAX_FUSED_NFFT
+        and hop >= 128
+        and hop % 128 == 0
+        and nfft % hop == 0
+        and (nfft // hop) % 2 == 0
+    )
+
+
+def _split_bf16(a: np.ndarray):
+    """f32 -> (hi, lo) bf16 pair with hi + lo == f32 value to bf16x2."""
+    import ml_dtypes
+
+    a32 = np.asarray(a, np.float32)
+    hi = a32.astype(ml_dtypes.bfloat16)
+    lo = (a32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+@lru_cache(maxsize=None)
+def _fused_consts(nfft: int):
+    """bf16 hi/lo splits of the folded bases + the output exchange matrix.
+
+    All [K, K] (S row-padded, Sinv col-padded with zeros so the operand's
+    first/last columns need no masking); J is [K, N-K] with
+    J[K-1-1-p ...] — J[j, p] = 1 iff j == (N//2) - 1 - p + 1, i.e. the
+    column flip out[:, K + p] = (A - B)[:, N//2 - 1 - p + ...]."""
+    k = nfft // 2 + 1
+    c, s = _folded_forward_consts(nfft)
+    s_full = np.zeros((k, k), np.float32)
+    s_full[1 : k - 1] = s
+    cinv, sinv = _folded_inverse_consts(nfft)
+    sinv_full = np.zeros((k, k), np.float32)
+    sinv_full[:, 1 : k - 1] = sinv
+    # out[:, K + p] = (A - B)[:, h - 1 - p + 1] = d[:, (h) - 1 - p ... ]
+    # True frames: out[N - n] = (A - B)[n] for n = 1..h-1; lane K+p has
+    # n = N - (K + p) = h - 1 - p.
+    j = np.zeros((k, nfft - k), np.float32)
+    h = nfft // 2
+    for p in range(nfft - k):
+        j[h - 1 - p, p] = 1.0
+    return (
+        _split_bf16(c),
+        _split_bf16(s_full),
+        _split_bf16(cinv),
+        _split_bf16(sinv_full),
+        _split_bf16(j),
+    )
+
+
+def _dot3(a32, bh_ref, bl_ref):
+    """3-pass bf16 emulation of an f32 matmul (Precision.HIGH equivalent)."""
+    ah = a32.astype(jnp.bfloat16)
+    al = (a32 - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda p, q: jnp.dot(  # noqa: E731
+        p, q[:], preferred_element_type=jnp.float32
+    )
+    return (d(ah, bl_ref) + d(al, bh_ref)) + d(ah, bh_ref)
+
+
+def _rt_kernel(nfft, hop, r_count, tm, eps_unused,
+               bx_hbm, fbx_hbm, w_ref, wf_ref,
+               ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
+               out_ref, bx_s, fbx_s, ybuf, zbuf, ebuf, obuf, sems):
+    i = pl.program_id(0)
+    rows = bx_s.shape[0]
+    d1 = pltpu.make_async_copy(
+        bx_hbm.at[pl.ds(i * tm, rows), :], bx_s, sems.at[0]
+    )
+    d2 = pltpu.make_async_copy(
+        fbx_hbm.at[pl.ds(i * tm, rows), :], fbx_s, sems.at[1]
+    )
+    d1.start()
+    d2.start()
+    d1.wait()
+    d2.wait()
+
+    h = nfft // 2
+    half = r_count // 2
+    # y[:, :h] = windowed frame low half; z[:, :h] = windowed reversed-frame
+    # low half. z chunk r = fbx[f + R-1-r] * flip(w) chunk r (module note).
+    for r in range(half):
+        ybuf[:, r * hop : (r + 1) * hop] = (
+            bx_s[r : r + tm, :] * w_ref[0:1, r * hop : (r + 1) * hop]
+        )
+        shift = r_count - 1 - r
+        zbuf[:, r * hop : (r + 1) * hop] = (
+            fbx_s[shift : shift + tm, :] * wf_ref[0:1, r * hop : (r + 1) * hop]
+        )
+    ycol = bx_s[half : half + tm, 0:1] * w_ref[0:1, h : h + 1]
+
+    ebuf[:, 0:1] = ybuf[:, 0:1]
+    ebuf[:, 1:h] = ybuf[:, 1:h] + zbuf[:, 0 : h - 1]
+    ebuf[:, h : h + 1] = ycol
+    zero_col = jnp.zeros((tm, 1), jnp.float32)
+    obuf[:, 0:1] = zero_col
+    obuf[:, 1:h] = ybuf[:, 1:h] - zbuf[:, 0 : h - 1]
+    obuf[:, h : h + 1] = zero_col
+
+    re = _dot3(ebuf[:], ch, cl)
+    im = _dot3(obuf[:], sh, sl)
+    a = _dot3(re, cih, cil)
+    b = _dot3(im, sih, sil)
+    out_ref[:, 0 : h + 1] = a + b
+    out_ref[:, h + 1 : nfft] = _dot3(a - b, jh, jl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nfft", "hop", "n_frames", "tile", "interpret"),
+)
+def _rt_call(
+    padded: jnp.ndarray,
+    w32: jnp.ndarray,
+    nfft: int,
+    hop: int,
+    n_frames: int,
+    tile: int = _DEF_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    r_count = nfft // hop
+    k = nfft // 2 + 1
+    tm = tile
+    grid = -(-n_frames // tm)
+    extra = -(-(r_count - 1) // _SUBLANES) * _SUBLANES
+    rows_total = grid * tm + extra
+    need = rows_total * hop
+    if padded.shape[-1] < need:
+        padded = jnp.pad(padded, (0, need - padded.shape[-1]))
+    bx = padded[:need].reshape(rows_total, hop)
+    fbx = jnp.flip(bx, axis=-1)
+    w2 = w32.reshape(1, nfft)
+    wf2 = jnp.flip(w2, axis=-1)
+
+    (ch, cl), (sh, sl), (cih, cil), (sih, sil), (jh, jl) = [
+        tuple(map(jnp.asarray, pair)) for pair in _fused_consts(nfft)
+    ]
+
+    const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_rt_kernel, nfft, hop, r_count, tm, 0.0),
+        out_shape=jax.ShapeDtypeStruct((grid * tm, nfft), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            const_spec((1, nfft)),
+            const_spec((1, nfft)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, nfft - k)),
+            const_spec((k, nfft - k)),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, nfft), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tm + extra, hop), jnp.float32),
+            pltpu.VMEM((tm + extra, hop), jnp.float32),
+            pltpu.VMEM((tm, nfft // 2), jnp.float32),
+            pltpu.VMEM((tm, nfft // 2), jnp.float32),
+            pltpu.VMEM((tm, k), jnp.float32),
+            pltpu.VMEM((tm, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(bx, fbx, w2, wf2, ch, cl, sh, sl, cih, cil, sih, sil, jh, jl)
+    return out[:n_frames]
+
+
+def roundtrip_frames_fused(
+    padded: jnp.ndarray,
+    nfft: int,
+    hop: int,
+    n_frames: int,
+    analysis_window_f64: np.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[..., Lp] padded signal -> [..., n_frames, nfft] round-trip output
+    frames (windowing + forward + inverse DFT fused; HIGH-tier numerics).
+
+    `padded` must already carry the center padding (pipeline applies
+    core.padding.pad_signal first); frame f covers padded[f*hop : f*hop+nfft].
+    """
+    if not fused_rt_supported(nfft, hop):
+        raise ValueError(f"fused round-trip unsupported for N={nfft} H={hop}")
+    w32 = jnp.asarray(np.asarray(analysis_window_f64, np.float32))
+    fn = lambda p: _rt_call(  # noqa: E731
+        p, w32, nfft, hop, n_frames, interpret=interpret
+    )
+    for _ in range(padded.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(padded)

@@ -44,13 +44,16 @@ class PipelineTraffic:
     flops_per_sample: float
 
 
-def roundtrip_traffic(frame_size: int, hop: int, matmul_fft: bool = True) -> PipelineTraffic:
+def roundtrip_traffic(
+    frame_size: int, hop: int, matmul_fft: bool = True, folded: bool = True
+) -> PipelineTraffic:
     """Ideal-fusion traffic model of frame->window->rFFT->irFFT->OLA->norm.
 
     Per input sample: read x once, write+read the [F, N] frame matrix in both
     directions (overlap factor R = N/H), spectrum write+read, write y once.
-    FLOPs: DFT-as-matmul is 2*N*(N+2) MACs per frame per direction; FFT is
-    5*N*log2(N) per direction.
+    FLOPs: the symmetry-folded DFT matmul is N*(N/2+1) MACs per frame per
+    direction (fft/matmul_backend.py::rfft_folded_packed), the direct basis
+    2*N*(N+2) MACs; FFT is 5*N*log2(N) per direction.
     """
     import math
 
@@ -59,8 +62,10 @@ def roundtrip_traffic(frame_size: int, hop: int, matmul_fft: bool = True) -> Pip
     bytes_spec = 2 * 4 * r * ((frame_size // 2 + 1) * 2 / frame_size)
     bytes_out_frames = 2 * 4 * r
     b = 4 + bytes_frames + bytes_spec + bytes_out_frames + 4 + 4
-    if matmul_fft:
-        # 2 FLOP per MAC x [N x (N+2)] basis, two directions.
+    if matmul_fft and folded and frame_size % 2 == 0:
+        # 2 FLOP per MAC x half-size [Re | Im] bases, two directions.
+        flops_per_frame = 2 * frame_size * (frame_size // 2 + 1) * 2
+    elif matmul_fft:
         flops_per_frame = 2 * frame_size * (frame_size + 2) * 2
     else:
         flops_per_frame = 2 * 5 * frame_size * math.log2(frame_size)
@@ -71,6 +76,7 @@ def roundtrip_traffic(frame_size: int, hop: int, matmul_fft: bool = True) -> Pip
 def roofline_samples_per_sec(
     frame_size: int, hop: int, matmul_fft: bool = True,
     device_kind: Optional[str] = None, precision: str = "high",
+    folded: bool = True,
 ) -> dict:
     """Speed-of-light samples/s for the round-trip on this device: the min of
     the HBM-bandwidth bound and the compute bound, with both reported.
@@ -79,7 +85,7 @@ def roofline_samples_per_sec(
     peak ~ bf16/3) or 'highest' (bf16x6 ~ f32 peak).
     """
     hbm, bf16, f32 = device_specs(device_kind)
-    t = roundtrip_traffic(frame_size, hop, matmul_fft)
+    t = roundtrip_traffic(frame_size, hop, matmul_fft, folded)
     compute_peak = bf16 / 3.0 if precision == "high" else f32
     bw_bound = hbm / t.bytes_per_sample
     compute_bound = compute_peak / t.flops_per_sample

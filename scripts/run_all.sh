@@ -6,8 +6,23 @@ cd "$(dirname "$0")/.."
 OUT="${1:-out/$(date +%Y%m%d_%H%M%S)}"
 mkdir -p "$OUT"
 
+# The remote TPU tunnel alternates between working windows and minutes-long
+# hangs; every device-touching step runs under a timeout with retries, and
+# a persistent compilation cache makes retries cheap.
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}"
+retry() { # retry <timeout_s> <attempts> <cmd...>
+  local t="$1" n="$2" i
+  shift 2
+  for ((i = 1; i <= n; i++)); do
+    if timeout "$t" "$@"; then return 0; fi
+    echo "retry $i/$n failed: $*" >&2
+    sleep 5
+  done
+  return 1
+}
+
 echo "== environment ==" | tee "$OUT/env.txt"
-python -m crlot_tpu.profiling | tee "$OUT/env.json"
+retry 120 3 python -m crlot_tpu.profiling | tee "$OUT/env.json"
 
 echo "== native build =="
 python -c "from crlot_tpu.io.native import native_available; print('native:', native_available())"
@@ -16,10 +31,10 @@ echo "== tests =="
 python -m pytest tests/ -q 2>&1 | tee "$OUT/tests.txt"
 
 echo "== bench suite =="
-python -m crlot_tpu.bench.suite --out "$OUT/suite.json"
+retry 600 3 python -m crlot_tpu.bench.suite --out "$OUT/suite.json"
 
 echo "== regression guard =="
 python -m crlot_tpu.bench.regression --current "$OUT/suite.json" | tee "$OUT/regression.json"
 
 echo "== headline bench =="
-python bench.py | tee "$OUT/bench.json"
+retry 300 3 python bench.py | tee "$OUT/bench.json"
