@@ -247,6 +247,10 @@ class StftConfig:
     eps: float = 1e-8
     fft_backend: FftBackend = FftBackend.AUTO
     fft_precision: FftPrecision = FftPrecision.HIGH
+    # Opt-in single-kernel round-trip (fft/pallas_rt.py): framing + folded
+    # DFT + inverse fused in one Pallas pass. Applies only where
+    # fused_rt_supported() holds and the identity round-trip is requested.
+    fused_roundtrip: bool = False
 
     def __post_init__(self) -> None:
         if self.frame_size <= 0 or self.frame_size % 2 != 0:

@@ -99,7 +99,7 @@ def round_trip(
     """
     import jax
 
-    from .core.types import FftBackend
+    from .core.types import FftBackend, FftPrecision
     from .fft.matmul_backend import (
         MAX_MATMUL_NFFT,
         roundtrip_folded_matmul,
@@ -109,11 +109,43 @@ def round_trip(
     from .ola.fused import ola_normalized_auto
 
     signal = jnp.asarray(signal)
+    on_tpu = jax.default_backend() == "tpu"
+    matmul_ok = cfg.fft_backend in (FftBackend.AUTO, FftBackend.MATMUL)
+    if (
+        spectral_fn is None
+        and cfg.fused_roundtrip
+        and matmul_ok
+        and on_tpu
+        and cfg.fft_precision == FftPrecision.HIGH
+    ):
+        from .core.padding import pad_signal
+        from .fft.pallas_rt import fused_rt_supported, roundtrip_frames_fused
+
+        if fused_rt_supported(cfg.frame_size, cfg.hop_size):
+            spec = cfg.frame_spec
+            num_frames = spec.num_frames(signal.shape[-1])
+            padded = pad_signal(
+                signal, spec.pad_amount, spec.pad_amount, spec.pad_mode,
+                spec.pad_value,
+            )
+            w64 = _window_f64(cfg)
+            out_frames = roundtrip_frames_fused(
+                padded, cfg.frame_size, cfg.hop_size, num_frames, w64
+            )
+            if cfg.synthesis_window:
+                out_frames = out_frames * jnp.asarray(_window_np(cfg))
+            pad = spec.pad_amount
+            full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
+            norm = jnp.asarray(_norm_np(cfg, num_frames, full))
+            out = ola_normalized_auto(
+                out_frames, norm, cfg.hop_size, full, cfg.eps
+            )
+            return out[..., pad : pad + signal.shape[-1]]
     use_packed = (
         spectral_fn is None
-        and cfg.fft_backend in (FftBackend.AUTO, FftBackend.MATMUL)
+        and matmul_ok
         and cfg.frame_size <= MAX_MATMUL_NFFT
-        and jax.default_backend() == "tpu"
+        and on_tpu
     )
     if use_packed:
         frames = frame_signal(signal, cfg.frame_spec)
