@@ -79,6 +79,22 @@ def _split_bf16(a: np.ndarray):
     return hi, lo
 
 
+def _split_f32(a32):
+    """Exact in-kernel hi/lo split WITHOUT a bf16 convert round-trip.
+
+    hi = a32 with the mantissa truncated to bf16's 8 bits (bitmask — stays in
+    f32 layout; Mosaic lowers f32<->bf16 layout-change upcasts at ~10x the
+    cost of the matmul they feed, see CLAUDE.md), lo = a32 - hi (exact: hi
+    matches a32's top bits so the subtraction cancels without rounding).
+    hi is exactly representable in bf16; lo rounds to bf16 with |err| <=
+    2^-9 |a|."""
+    bits = jax.lax.bitcast_convert_type(a32, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        bits & jnp.int32(-65536), jnp.float32
+    )
+    return hi, a32 - hi
+
+
 @lru_cache(maxsize=None)
 def _fused_consts(nfft: int):
     """bf16 hi/lo splits of the folded bases + the output exchange matrix.
@@ -111,43 +127,72 @@ def _fused_consts(nfft: int):
 
 
 def _dot3(a32, bh_ref, bl_ref):
-    """3-pass bf16 emulation of an f32 matmul (Precision.HIGH equivalent)."""
-    ah = a32.astype(jnp.bfloat16)
-    al = (a32 - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    """3-pass bf16 emulation of an f32 matmul (Precision.HIGH equivalent).
+
+    Activation split via bitmask truncation (one int mask + one subtract in
+    f32 layout + two downcasts) — no bf16->f32 upcast anywhere."""
+    hi, lo = _split_f32(a32)
+    ah = hi.astype(jnp.bfloat16)
+    al = lo.astype(jnp.bfloat16)
     d = lambda p, q: jnp.dot(  # noqa: E731
         p, q[:], preferred_element_type=jnp.float32
     )
     return (d(ah, bl_ref) + d(al, bh_ref)) + d(ah, bh_ref)
 
 
-def _rt_kernel(nfft, hop, r_count, tm, eps_unused,
-               bx_hbm, fbx_hbm, w_ref, wf_ref,
-               ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
-               out_ref, bx_s, fbx_s, ybuf, zbuf, ebuf, obuf, sems):
+def _flip_lanes(src, jref):
+    """Exact lane reversal of an f32 [rows, hop] block via the bf16 exchange
+    matrix (Mosaic has no lane-reversal primitive). Exact because the hi/lo
+    split reconstructs src exactly and J's 0/1 entries multiply losslessly
+    with f32 accumulation."""
+    hi, lo = _split_f32(src)
+    d = lambda p: jnp.dot(  # noqa: E731
+        p.astype(jnp.bfloat16), jref[:], preferred_element_type=jnp.float32
+    )
+    return d(hi) + d(lo)
+
+
+def _rt_kernel(nfft, hop, r_count, tm, flip_mm, *args):
+    if flip_mm:
+        (bx_hbm, w_ref, wf_ref, jhop,
+         ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
+         out_ref, bx_s, ybuf, zbuf, ebuf, obuf, sems) = args
+    else:
+        (bx_hbm, fbx_hbm, w_ref, wf_ref,
+         ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
+         out_ref, bx_s, fbx_s, ybuf, zbuf, ebuf, obuf, sems) = args
     i = pl.program_id(0)
     rows = bx_s.shape[0]
     d1 = pltpu.make_async_copy(
         bx_hbm.at[pl.ds(i * tm, rows), :], bx_s, sems.at[0]
     )
-    d2 = pltpu.make_async_copy(
-        fbx_hbm.at[pl.ds(i * tm, rows), :], fbx_s, sems.at[1]
-    )
     d1.start()
-    d2.start()
+    if not flip_mm:
+        d2 = pltpu.make_async_copy(
+            fbx_hbm.at[pl.ds(i * tm, rows), :], fbx_s, sems.at[1]
+        )
+        d2.start()
     d1.wait()
-    d2.wait()
+    if not flip_mm:
+        d2.wait()
 
     h = nfft // 2
     half = r_count // 2
     # y[:, :h] = windowed frame low half; z[:, :h] = windowed reversed-frame
-    # low half. z chunk r = fbx[f + R-1-r] * flip(w) chunk r (module note).
+    # low half. z chunk r = flip(bx[f + R-1-r]) * flip(w) chunk r — either
+    # from the precomputed fbx copy or the in-kernel exchange matmul.
     for r in range(half):
         ybuf[:, r * hop : (r + 1) * hop] = (
             bx_s[r : r + tm, :] * w_ref[0:1, r * hop : (r + 1) * hop]
         )
         shift = r_count - 1 - r
+        rev = (
+            _flip_lanes(bx_s[shift : shift + tm, :], jhop)
+            if flip_mm
+            else fbx_s[shift : shift + tm, :]
+        )
         zbuf[:, r * hop : (r + 1) * hop] = (
-            fbx_s[shift : shift + tm, :] * wf_ref[0:1, r * hop : (r + 1) * hop]
+            rev * wf_ref[0:1, r * hop : (r + 1) * hop]
         )
     ycol = bx_s[half : half + tm, 0:1] * w_ref[0:1, h : h + 1]
 
@@ -167,9 +212,19 @@ def _rt_kernel(nfft, hop, r_count, tm, eps_unused,
     out_ref[:, h + 1 : nfft] = _dot3(a - b, jh, jl)
 
 
+@lru_cache(maxsize=None)
+def _exchange_bf16(hop: int) -> np.ndarray:
+    """[hop, hop] lane-exchange matrix; 0/1 entries are exact in bf16."""
+    import ml_dtypes
+
+    j = np.zeros((hop, hop), ml_dtypes.bfloat16)
+    j[np.arange(hop), hop - 1 - np.arange(hop)] = 1.0
+    return j
+
+
 @partial(
     jax.jit,
-    static_argnames=("nfft", "hop", "n_frames", "tile", "interpret"),
+    static_argnames=("nfft", "hop", "n_frames", "tile", "interpret", "flip_mm"),
 )
 def _rt_call(
     padded: jnp.ndarray,
@@ -179,6 +234,7 @@ def _rt_call(
     n_frames: int,
     tile: int = _DEF_TILE,
     interpret: bool = False,
+    flip_mm: bool = True,
 ) -> jnp.ndarray:
     r_count = nfft // hop
     k = nfft // 2 + 1
@@ -190,7 +246,6 @@ def _rt_call(
     if padded.shape[-1] < need:
         padded = jnp.pad(padded, (0, need - padded.shape[-1]))
     bx = padded[:need].reshape(rows_total, hop)
-    fbx = jnp.flip(bx, axis=-1)
     w2 = w32.reshape(1, nfft)
     wf2 = jnp.flip(w2, axis=-1)
 
@@ -201,40 +256,53 @@ def _rt_call(
     const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    if flip_mm:
+        inputs = [bx, w2, wf2, jnp.asarray(_exchange_bf16(hop))]
+        in_specs = [hbm_spec, const_spec((1, nfft)), const_spec((1, nfft)),
+                    const_spec((hop, hop))]
+        scratch = [pltpu.VMEM((tm + extra, hop), jnp.float32)]
+        n_sems = 1
+    else:
+        fbx = jnp.flip(bx, axis=-1)
+        inputs = [bx, fbx, w2, wf2]
+        in_specs = [hbm_spec, hbm_spec, const_spec((1, nfft)),
+                    const_spec((1, nfft))]
+        scratch = [
+            pltpu.VMEM((tm + extra, hop), jnp.float32),
+            pltpu.VMEM((tm + extra, hop), jnp.float32),
+        ]
+        n_sems = 2
+    inputs += [ch, cl, sh, sl, cih, cil, sih, sil, jh, jl]
+    in_specs += [
+        const_spec((k, k)),
+        const_spec((k, k)),
+        const_spec((k, k)),
+        const_spec((k, k)),
+        const_spec((k, k)),
+        const_spec((k, k)),
+        const_spec((k, k)),
+        const_spec((k, k)),
+        const_spec((k, nfft - k)),
+        const_spec((k, nfft - k)),
+    ]
     out = pl.pallas_call(
-        partial(_rt_kernel, nfft, hop, r_count, tm, 0.0),
+        partial(_rt_kernel, nfft, hop, r_count, tm, flip_mm),
         out_shape=jax.ShapeDtypeStruct((grid * tm, nfft), jnp.float32),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            const_spec((1, nfft)),
-            const_spec((1, nfft)),
-            const_spec((k, k)),
-            const_spec((k, k)),
-            const_spec((k, k)),
-            const_spec((k, k)),
-            const_spec((k, k)),
-            const_spec((k, k)),
-            const_spec((k, k)),
-            const_spec((k, k)),
-            const_spec((k, nfft - k)),
-            const_spec((k, nfft - k)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (tm, nfft), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((tm + extra, hop), jnp.float32),
-            pltpu.VMEM((tm + extra, hop), jnp.float32),
+        scratch_shapes=scratch + [
             pltpu.VMEM((tm, nfft // 2), jnp.float32),
             pltpu.VMEM((tm, nfft // 2), jnp.float32),
             pltpu.VMEM((tm, k), jnp.float32),
             pltpu.VMEM((tm, k), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((n_sems,)),
         ],
         interpret=interpret,
-    )(bx, fbx, w2, wf2, ch, cl, sh, sl, cih, cil, sih, sil, jh, jl)
+    )(*inputs)
     return out[:n_frames]
 
 
@@ -245,19 +313,27 @@ def roundtrip_frames_fused(
     n_frames: int,
     analysis_window_f64: np.ndarray,
     interpret: bool = False,
+    flip_mm: bool = True,
 ) -> jnp.ndarray:
     """[..., Lp] padded signal -> [..., n_frames, nfft] round-trip output
     frames (windowing + forward + inverse DFT fused; HIGH-tier numerics).
 
     `padded` must already carry the center padding (pipeline applies
     core.padding.pad_signal first); frame f covers padded[f*hop : f*hop+nfft].
+    `flip_mm=True` derives the reversed-frame operand in-kernel from the
+    exchange matmul (one HBM input); False DMAs a precomputed flipped copy.
     """
     if not fused_rt_supported(nfft, hop):
         raise ValueError(f"fused round-trip unsupported for N={nfft} H={hop}")
     w32 = jnp.asarray(np.asarray(analysis_window_f64, np.float32))
     fn = lambda p: _rt_call(  # noqa: E731
-        p, w32, nfft, hop, n_frames, interpret=interpret
+        p, w32, nfft, hop, n_frames, interpret=interpret, flip_mm=flip_mm
     )
-    for _ in range(padded.ndim - 1):
-        fn = jax.vmap(fn)
-    return fn(padded)
+    if padded.ndim == 1:
+        return fn(padded)
+    # vmap of a pallas_call with HBM-resident inputs does not lower on
+    # Mosaic; unroll the (small, static) batch axes instead.
+    lead = padded.shape[:-1]
+    flat = padded.reshape(-1, padded.shape[-1])
+    outs = [fn(flat[i]) for i in range(flat.shape[0])]
+    return jnp.stack(outs).reshape(lead + outs[0].shape)

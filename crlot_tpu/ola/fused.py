@@ -121,16 +121,21 @@ def ola_normalized_auto(
 ) -> jnp.ndarray:
     """Pick the fused Pallas kernel when the config allows, else jnp.
 
-    Batched ([..., F, N]) inputs vmap the fused kernel over leading axes.
+    Batched ([..., F, N]) inputs unroll the fused kernel over leading axes.
     """
     on_tpu = jax.default_backend() == "tpu"
     if frames.ndim > 2 and fused_supported(frames.shape[-2:], hop) and on_tpu:
-        fn = lambda fr: ola_normalized_fused(  # noqa: E731
-            fr, norm, hop, out_len, eps
-        )
-        for _ in range(frames.ndim - 2):
-            fn = jax.vmap(fn)
-        return fn(frames)
+        # vmap of a pallas_call with HBM-resident inputs does not lower on
+        # Mosaic (the batched index_map on a memory_space=ANY block is
+        # rejected); unroll the (small, static) batch axes instead — each
+        # iteration is an independent 2-D kernel launch.
+        lead = frames.shape[:-2]
+        flat = frames.reshape((-1,) + frames.shape[-2:])
+        outs = [
+            ola_normalized_fused(flat[i], norm, hop, out_len, eps)
+            for i in range(flat.shape[0])
+        ]
+        return jnp.stack(outs).reshape(lead + (out_len,))
     if frames.ndim == 2 and fused_supported(frames.shape, hop) and on_tpu:
         return ola_normalized_fused(frames, norm, hop, out_len, eps)
     acc = overlap_add(frames, hop, out_len)
