@@ -45,22 +45,23 @@ def _timed_chain(fn_one, x, k: int):
     return jax.jit(chained)
 
 
-def _measure(fn_one, x, k_small=2, k_big=12, reps=5) -> float:
-    """Median per-iteration device seconds via two chain lengths."""
-    import numpy as np
-
-    def run(k):
-        f = _timed_chain(fn_one, x, k)
-        float(f(x))  # compile + warm
-        ts = []
-        for _ in range(reps):
+def _measure(fn_one, x, k_small=2, k_big=12, reps=8) -> float:
+    """Per-iteration device seconds via two chain lengths, measured
+    INTERLEAVED and differenced at their minima: the tunnel's per-call
+    overhead swings by hundreds of ms between contention windows, and only
+    at the uncontended floor (which both chain lengths visit at least once
+    across reps) does the constant overhead actually cancel."""
+    f_small = _timed_chain(fn_one, x, k_small)
+    f_big = _timed_chain(fn_one, x, k_big)
+    float(f_small(x))  # compile + warm
+    float(f_big(x))
+    t_small, t_big = [], []
+    for _ in range(reps):
+        for f, acc in ((f_small, t_small), (f_big, t_big)):
             t0 = time.perf_counter()
             float(f(x))
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[len(ts) // 2]
-
-    t_small, t_big = run(k_small), run(k_big)
-    return max((t_big - t_small) / (k_big - k_small), 1e-9)
+            acc.append(time.perf_counter() - t0)
+    return max((min(t_big) - min(t_small)) / (k_big - k_small), 1e-9)
 
 
 def main() -> None:

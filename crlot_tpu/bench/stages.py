@@ -14,16 +14,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time(fn, x, reps=5, k_small=2, k_big=12):
+def _time(fn, x, reps=8, k_small=2, k_big=12):
     """Per-call device seconds for `fn(x)`, amortized over a k-length in-jit
     chain to cancel the remote dispatch+readback latency (~25 ms on the
     tunnel). A tiny scalar derived from each output perturbs the next input,
     so XLA cannot hoist the body out of the scan. The input is passed as a
     jit ARGUMENT (closure-captured device arrays would be embedded as
-    constants, requiring a fragile device->host fetch at trace time)."""
+    constants, requiring a fragile device->host fetch at trace time).
+
+    The tunnel's per-call overhead swings by hundreds of ms between
+    contention windows, so the two chain lengths are measured INTERLEAVED
+    and differenced at their MINIMA — both visit the uncontended floor at
+    least once across reps, where the constant overhead actually cancels
+    (medians of separately-measured runs can land in different windows and
+    even go negative)."""
     x = np.asarray(x)
 
-    def chain(k):
+    def build(k):
         def chained(s0, xx):
             def body(s, _):
                 out = fn(xx + s)
@@ -40,15 +47,17 @@ def _time(fn, x, reps=5, k_small=2, k_big=12):
             return c
 
         f = jax.jit(chained)
-        float(f(jnp.float32(0), x))
-        ts = []
-        for _ in range(reps):
+        float(f(jnp.float32(0), x))  # compile + warm
+        return f
+
+    f_small, f_big = build(k_small), build(k_big)
+    t_small, t_big = [], []
+    for _ in range(reps):
+        for f, acc in ((f_small, t_small), (f_big, t_big)):
             t0 = time.perf_counter()
             float(f(jnp.float32(0), x))
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[len(ts) // 2]
-
-    return max((chain(k_big) - chain(k_small)) / (k_big - k_small), 1e-9)
+            acc.append(time.perf_counter() - t0)
+    return max((min(t_big) - min(t_small)) / (k_big - k_small), 1e-9)
 
 
 def frame_take(padded, n, hop, f):

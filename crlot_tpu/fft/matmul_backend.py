@@ -218,6 +218,116 @@ def irfft_folded_parts(
     return a  # nfft == 2: output is [x0, x1] = [A0, A1]
 
 
+@lru_cache(maxsize=None)
+def _tiled_consts(nfft: int):
+    """Lane-aligned cores of the folded bases + their rank-1 borders.
+
+    The folded bases are [h+1, h+1] (h = nfft//2); on TPU a (h+1)-sized
+    matmul dim pads to the next 128 multiple, inflating MXU block count by
+    (ceil((h+1)/128)/(h/128))^2 — 1.56x at h=512. The h-th row/column of
+    each basis is an EXACT alternating-sign vector (cos(pi*n) = (-1)^n), so
+    every matmul splits into a clean [h, h] MXU core plus a rank-1 border
+    handled as one fused VPU outer-product/reduction:
+
+      Re[:, :h] = e[:, :h] @ C[:h, :h] + e[:, h] (x) (-1)^k
+      Re[:, h]  = sum_n e[:, n] (-1)^n + e[:, h] (-1)^h        (matvec)
+      Im        = o @ S[:, 1:h]   (Im[0] = Im[h] = 0 exactly — sin(0),
+                                   sin(pi n); contraction h-1 is already
+                                   one pad short of aligned)
+      a[:, :h]  = Re[:, :h] @ Cinv[:h, :h] + Re[:, h] (x) (-1)^n / N
+      a[:, h]   = sum_k Re[:, k] w_k (-1)^k / N + Re[:, h] (-1)^h / N
+      b         = Im_eff @ Sinv[1:h, :]                        (clean)
+    """
+    h = nfft // 2
+    c, s = _folded_forward_consts(nfft)  # [h+1, h+1], [h-1, h+1]
+    cinv, sinv = _folded_inverse_consts(nfft)  # [h+1, h+1], [h+1, h-1]
+    c512 = np.ascontiguousarray(c[:h, :h])
+    s_eff = np.ascontiguousarray(s[:, 1:h])  # [h-1, h-1]
+    ci512 = np.ascontiguousarray(cinv[:h, :h])
+    si_eff = np.ascontiguousarray(sinv[1:h, :])  # [h-1, h-1]
+    cvec = np.ascontiguousarray(cinv[:h, h])  # w_k (-1)^k / N, k = 0..h-1
+    alt = np.where(np.arange(h) % 2 == 0, 1.0, -1.0).astype(np.float32)
+    sign_h = 1.0 if h % 2 == 0 else -1.0
+    return c512, s_eff, ci512, si_eff, cvec, alt, sign_h
+
+
+def tiled_supported(nfft: int) -> bool:
+    return nfft % 256 == 0 and nfft <= MAX_MATMUL_NFFT
+
+
+def rfft_folded_tiled_parts(
+    x: jnp.ndarray, nfft: int, window_f32=None, precision=None
+):
+    """rfft(x [* w]) -> (re512 [..., h], re_nyq [..., 1], im_eff [..., h-1])
+    — the packed-real spectrum in its lane-aligned tiled layout (bins
+    k = 0..h-1, the Nyquist bin, and Im k = 1..h-1; Im[0] = Im[h] = 0)."""
+    c512, s_eff, _, _, _, alt, sign_h = _tiled_consts(nfft)
+    h = nfft // 2
+    y = x.astype(jnp.float32)
+    if window_f32 is not None:
+        y = y * window_f32
+    head = y[..., 1:h]
+    tail = jnp.flip(y[..., h + 1 :], axis=-1)
+    e512 = jnp.concatenate([y[..., :1], head + tail], axis=-1)  # n = 0..h-1
+    e_n = y[..., h : h + 1]
+    o = head - tail
+    altj = jnp.asarray(alt)
+    re512 = (
+        jnp.dot(e512, jnp.asarray(c512), precision=_prec(precision))
+        + e_n * altj
+    )
+    re_nyq = jnp.sum(e512 * altj, axis=-1, keepdims=True) + e_n * sign_h
+    im_eff = jnp.dot(o, jnp.asarray(s_eff), precision=_prec(precision))
+    return re512, re_nyq, im_eff
+
+
+def irfft_folded_tiled_parts(
+    re512: jnp.ndarray,
+    re_nyq: jnp.ndarray,
+    im_eff: jnp.ndarray,
+    nfft: int,
+    precision=None,
+) -> jnp.ndarray:
+    """Tiled-layout packed spectrum -> real [..., nfft] (includes 1/N)."""
+    _, _, ci512, si_eff, cvec, alt, sign_h = _tiled_consts(nfft)
+    h = nfft // 2
+    altj = jnp.asarray(alt)
+    a512 = (
+        jnp.dot(re512, jnp.asarray(ci512), precision=_prec(precision))
+        + re_nyq * (altj / nfft)
+    )
+    a_nyq = (
+        jnp.sum(re512 * jnp.asarray(cvec), axis=-1, keepdims=True)
+        + re_nyq * (sign_h / nfft)
+    )
+    b = jnp.dot(im_eff, jnp.asarray(si_eff), precision=_prec(precision))
+    mid = a512[..., 1:h]
+    return jnp.concatenate(
+        [a512[..., :1], mid + b, a_nyq, jnp.flip(mid - b, axis=-1)],
+        axis=-1,
+    )
+
+
+def roundtrip_folded_tiled(
+    frames: jnp.ndarray,
+    nfft: int,
+    analysis_window_f64: np.ndarray,
+    synthesis_window_f64=None,
+    precision=None,
+) -> jnp.ndarray:
+    """irfft(rfft(frames * w)) with every matmul dim a multiple of 128: the
+    four folded half-bases shed their (h+1)-th row/column into exact
+    alternating-sign rank-1 VPU corrections (see _tiled_consts), cutting
+    MXU block count 36% at N=1024 vs roundtrip_folded_matmul (5x5 -> 4x4
+    tiles of 128 per matmul) with identical-tier numerics."""
+    w = jnp.asarray(np.asarray(analysis_window_f64, np.float32))
+    re512, re_nyq, im_eff = rfft_folded_tiled_parts(frames, nfft, w, precision)
+    out = irfft_folded_tiled_parts(re512, re_nyq, im_eff, nfft, precision)
+    if synthesis_window_f64 is not None:
+        out = out * jnp.asarray(np.asarray(synthesis_window_f64, np.float32))
+    return out
+
+
 def rfft_folded(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     """Real [..., nfft] -> complex64 [..., K] via the folded half-bases."""
     re, im = rfft_folded_packed(x, nfft, None, precision)

@@ -306,6 +306,199 @@ def _rt_call(
     return out[:n_frames]
 
 
+def _rt_ola_kernel(nfft, hop, r_count, tb, n_frames, eps,
+                   bx_hbm, w_ref, wf_ref, jhop,
+                   ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
+                   norm_ref, out_ref, bx_s, ybuf, zbuf, ebuf, obuf,
+                   rtf, sems):
+    """Round-trip + OLA + normalize in one kernel: out tile = TB normalized
+    signal hop-blocks. Computes NF = TB + R - 1 frames per tile (the R-1
+    left-boundary frames are recomputed — (R-1)/TB FLOP overhead) so every
+    output block's overlap sum completes locally; phantom frames outside
+    [0, n_frames) are masked to zero before the matmuls (the OLA edge law:
+    only real frames contribute, norm = edge_norm)."""
+    i = pl.program_id(0)
+    nf = tb + r_count - 1
+    rows = bx_s.shape[0]
+    d1 = pltpu.make_async_copy(
+        bx_hbm.at[pl.ds(i * tb, rows), :], bx_s, sems.at[0]
+    )
+    d1.start()
+    d1.wait()
+
+    h = nfft // 2
+    half = r_count // 2
+    for r in range(half):
+        ybuf[:, r * hop : (r + 1) * hop] = (
+            bx_s[r : r + nf, :] * w_ref[0:1, r * hop : (r + 1) * hop]
+        )
+        shift = r_count - 1 - r
+        rev = _flip_lanes(bx_s[shift : shift + nf, :], jhop)
+        zbuf[:, r * hop : (r + 1) * hop] = (
+            rev * wf_ref[0:1, r * hop : (r + 1) * hop]
+        )
+    ycol = bx_s[half : half + nf, 0:1] * w_ref[0:1, h : h + 1]
+
+    # Mask phantom frames: local row g is frame i*tb - (R-1) + g.
+    f_abs = (
+        jax.lax.broadcasted_iota(jnp.int32, (nf, 1), 0)
+        + i * tb - (r_count - 1)
+    )
+    valid = jnp.logical_and(f_abs >= 0, f_abs < n_frames)
+
+    ebuf[:, 0:1] = jnp.where(valid, ybuf[:, 0:1], 0.0)
+    ebuf[:, 1:h] = jnp.where(
+        valid, ybuf[:, 1:h] + zbuf[:, 0 : h - 1], 0.0
+    )
+    ebuf[:, h : h + 1] = jnp.where(valid, ycol, 0.0)
+    zero_col = jnp.zeros((nf, 1), jnp.float32)
+    obuf[:, 0:1] = zero_col
+    obuf[:, 1:h] = jnp.where(
+        valid, ybuf[:, 1:h] - zbuf[:, 0 : h - 1], 0.0
+    )
+    obuf[:, h : h + 1] = zero_col
+
+    re = _dot3(ebuf[:], ch, cl)
+    im = _dot3(obuf[:], sh, sl)
+    a = _dot3(re, cih, cil)
+    b = _dot3(im, sih, sil)
+    rtf[:, 0 : h + 1] = a + b
+    rtf[:, h + 1 : nfft] = _dot3(a - b, jh, jl)
+
+    # OLA: out block j sums frame chunks in ascending frame order
+    # (r descending), the canonical summation order of every OLA path.
+    r = r_count - 1
+    acc = rtf[0:tb, r * hop : (r + 1) * hop]
+    for r in range(r_count - 2, -1, -1):
+        shift = r_count - 1 - r
+        acc = acc + rtf[shift : shift + tb, r * hop : (r + 1) * hop]
+    out_ref[:] = acc / jnp.maximum(norm_ref[:], eps)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nfft", "hop", "n_frames", "out_len", "eps", "tile",
+                     "interpret"),
+)
+def _rt_ola_call(
+    padded: jnp.ndarray,
+    w32: jnp.ndarray,
+    norm: jnp.ndarray,
+    nfft: int,
+    hop: int,
+    n_frames: int,
+    out_len: int,
+    eps: float,
+    tile: int = _DEF_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    r_count = nfft // hop
+    k = nfft // 2 + 1
+    tb = tile
+    nf = tb + r_count - 1
+    blocks_total = n_frames + r_count - 1  # == full/hop, hop-aligned
+    grid = -(-blocks_total // tb)
+    # Scratch rows: NF frames need NF + R-1 signal blocks; sublane-align.
+    bx_rows = -(-(nf + r_count - 1) // _SUBLANES) * _SUBLANES
+    rows_needed = (grid - 1) * tb + bx_rows
+    # pbx row j = signal block j - (R-1) (front zeros realize left phantoms).
+    front = (r_count - 1) * hop
+    need = rows_needed * hop - front
+    if padded.shape[-1] < need:
+        padded = jnp.pad(padded, (0, need - padded.shape[-1]))
+    pbx = jnp.pad(
+        padded[:need], (front, 0)
+    ).reshape(rows_needed, hop)
+    w2 = w32.reshape(1, nfft)
+    wf2 = jnp.flip(w2, axis=-1)
+    full = (n_frames - 1) * hop + nfft
+    norm_p = jnp.pad(norm, (0, grid * tb * hop - full)).reshape(
+        grid * tb, hop
+    )
+
+    (ch, cl), (sh, sl), (cih, cil), (sih, sil), (jh, jl) = [
+        tuple(map(jnp.asarray, pair)) for pair in _fused_consts(nfft)
+    ]
+
+    const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_rt_ola_kernel, nfft, hop, r_count, tb, n_frames, eps),
+        out_shape=jax.ShapeDtypeStruct((grid * tb, hop), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            const_spec((1, nfft)),
+            const_spec((1, nfft)),
+            const_spec((hop, hop)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, k)),
+            const_spec((k, nfft - k)),
+            const_spec((k, nfft - k)),
+            pl.BlockSpec((tb, hop), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, hop), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bx_rows, hop), jnp.float32),
+            pltpu.VMEM((nf, nfft // 2), jnp.float32),
+            pltpu.VMEM((nf, nfft // 2), jnp.float32),
+            pltpu.VMEM((nf, k), jnp.float32),
+            pltpu.VMEM((nf, k), jnp.float32),
+            pltpu.VMEM((nf, nfft), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=interpret,
+    )(pbx, w2, wf2, jnp.asarray(_exchange_bf16(hop)),
+      ch, cl, sh, sl, cih, cil, sih, sil, jh, jl, norm_p)
+    return out.reshape(-1)[:out_len]
+
+
+def roundtrip_signal_fused(
+    padded: jnp.ndarray,
+    nfft: int,
+    hop: int,
+    n_frames: int,
+    analysis_window_f64: np.ndarray,
+    norm: jnp.ndarray,
+    eps: float = 1e-8,
+    out_len: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[..., Lp] padded signal -> [..., out_len] NORMALIZED reconstruction:
+    framing + windowed folded rDFT + inverse + unfold + overlap-add +
+    divide-by-norm in a single pass over HBM (HIGH-tier numerics).
+
+    `norm` is the edge-aware COLA norm over the full OLA span
+    ((n_frames-1)*hop + nfft samples, pipeline._norm_np). Output still
+    carries the center padding — callers slice [pad : pad + length].
+    """
+    if not fused_rt_supported(nfft, hop):
+        raise ValueError(f"fused round-trip unsupported for N={nfft} H={hop}")
+    full = (n_frames - 1) * hop + nfft
+    if out_len is None:
+        out_len = full
+    w32 = jnp.asarray(np.asarray(analysis_window_f64, np.float32))
+    fn = lambda p: _rt_ola_call(  # noqa: E731
+        p, w32, norm, nfft, hop, n_frames, out_len, eps, interpret=interpret
+    )
+    if padded.ndim == 1:
+        return fn(padded)
+    lead = padded.shape[:-1]
+    flat = padded.reshape(-1, padded.shape[-1])
+    outs = [fn(flat[i]) for i in range(flat.shape[0])]
+    return jnp.stack(outs).reshape(lead + outs[0].shape)
+
+
 def roundtrip_frames_fused(
     padded: jnp.ndarray,
     nfft: int,

@@ -103,7 +103,9 @@ def round_trip(
     from .fft.matmul_backend import (
         MAX_MATMUL_NFFT,
         roundtrip_folded_matmul,
+        roundtrip_folded_tiled,
         roundtrip_packed_matmul,
+        tiled_supported,
     )
     from .frame.framing import frame_signal
     from .ola.fused import ola_normalized_auto
@@ -150,11 +152,12 @@ def round_trip(
     if use_packed:
         frames = frame_signal(signal, cfg.frame_spec)
         w64 = _window_f64(cfg)
-        rt = (
-            roundtrip_folded_matmul
-            if cfg.frame_size % 2 == 0
-            else roundtrip_packed_matmul
-        )
+        if tiled_supported(cfg.frame_size):
+            rt = roundtrip_folded_tiled
+        elif cfg.frame_size % 2 == 0:
+            rt = roundtrip_folded_matmul
+        else:
+            rt = roundtrip_packed_matmul
         out_frames = rt(
             frames, cfg.frame_size, w64,
             w64 if cfg.synthesis_window else None,

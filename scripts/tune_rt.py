@@ -23,7 +23,10 @@ import numpy as np  # noqa: E402
 from crlot_tpu.bench.stages import _time  # noqa: E402
 from crlot_tpu.core.padding import pad_signal  # noqa: E402
 from crlot_tpu.core.types import StftConfig  # noqa: E402
-from crlot_tpu.fft.pallas_rt import roundtrip_frames_fused  # noqa: E402
+from crlot_tpu.fft.pallas_rt import (  # noqa: E402
+    roundtrip_frames_fused,
+    roundtrip_signal_fused,
+)
 from crlot_tpu.metrics import snr_db  # noqa: E402
 from crlot_tpu.ola.fused import ola_normalized_auto  # noqa: E402
 from crlot_tpu.pipeline import _norm_np, _window_f64, round_trip  # noqa: E402
@@ -62,17 +65,41 @@ def main() -> None:
 
         return fn
 
+    def fullfused(s):
+        padded = pad_signal(s, pad, pad, spec.pad_mode, spec.pad_value)
+        out = roundtrip_signal_fused(
+            padded, n, hop, num_frames, w64, norm, cfg.eps
+        )
+        return out[..., pad : pad + total]
+
+    from crlot_tpu.fft import dispatch as _fftd
+    from crlot_tpu.fft.matmul_backend import roundtrip_folded_matmul
+    from crlot_tpu.frame.framing import frame_signal
+
+    prec = _fftd.to_lax_precision(cfg.fft_precision)
+
+    def xla_rt(rt_fn):
+        def fn(s):
+            frames = frame_signal(s, spec)
+            out_frames = rt_fn(frames, n, w64, None, prec)
+            out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
+            return out[..., pad : pad + total]
+
+        return fn
+
     variants = {
-        "rt_xla_folded": lambda s: round_trip(s, cfg),
+        "rt_pipeline_default": lambda s: round_trip(s, cfg),
+        "rt_xla_folded": xla_rt(roundtrip_folded_matmul),
         "rt_fused_flipmm": fused_rt(True),
         "rt_fused_fbx": fused_rt(False),
+        "rt_fullfused": fullfused,
     }
     for name, fn in variants.items():
         if only and name not in only:
             continue
         y = jax.jit(fn)(x)
         snr = float(snr_db(np.asarray(x), np.asarray(y)))
-        ms = _time(fn, x, reps=7, k_small=20, k_big=100) * 1e3
+        ms = _time(fn, x, reps=10, k_small=8, k_big=48) * 1e3
         print(
             json.dumps(
                 {

@@ -74,3 +74,73 @@ def test_fused_rt_unsupported_raises():
     w64 = get_window(WindowType.HANN, 768, True, dtype=np.float64)
     with pytest.raises(ValueError):
         roundtrip_frames_fused(jnp.zeros(4096), 768, 256, 5, w64)
+
+
+@pytest.mark.parametrize(
+    "nfft,hop", [(256, 128), (512, 128), (1024, 256), (1024, 512)]
+)
+def test_fullfused_rt_ola_matches_pipeline(nfft, hop):
+    """roundtrip_signal_fused == the jnp round_trip path (framing + folded
+    matmul rt + OLA + edge norm), within the HIGH precision tier."""
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.padding import pad_signal
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.fft.pallas_rt import roundtrip_signal_fused
+    from crlot_tpu.metrics import snr_db
+    from crlot_tpu.pipeline import _norm_np, _window_f64, round_trip
+
+    cfg = StftConfig(frame_size=nfft, hop_size=hop, center=True)
+    total = 12000
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-0.9, 0.9, total).astype(np.float32)
+    spec = cfg.frame_spec
+    f = spec.num_frames(total)
+    padded = pad_signal(
+        jnp.asarray(x), spec.pad_amount, spec.pad_amount, spec.pad_mode,
+        spec.pad_value,
+    )
+    w64 = _window_f64(cfg)
+    full = (f - 1) * hop + nfft
+    norm = jnp.asarray(_norm_np(cfg, f, full))
+    out = roundtrip_signal_fused(
+        padded, nfft, hop, f, w64, norm, cfg.eps, interpret=True
+    )
+    pad = spec.pad_amount
+    y = np.asarray(out[pad : pad + total])
+    assert snr_db(x, y) > 90.0
+    ref = np.asarray(round_trip(jnp.asarray(x), cfg))
+    assert np.max(np.abs(y - ref)) < 2e-4
+
+
+def test_fullfused_rt_ola_batched():
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.padding import pad_signal
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.fft.pallas_rt import roundtrip_signal_fused
+    from crlot_tpu.metrics import snr_db
+    from crlot_tpu.pipeline import _norm_np, _window_f64
+
+    nfft, hop = 256, 128
+    cfg = StftConfig(frame_size=nfft, hop_size=hop, center=True)
+    total = 4000
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-0.9, 0.9, (2, total)).astype(np.float32)
+    spec = cfg.frame_spec
+    f = spec.num_frames(total)
+    padded = pad_signal(
+        jnp.asarray(x), spec.pad_amount, spec.pad_amount, spec.pad_mode,
+        spec.pad_value,
+    )
+    w64 = _window_f64(cfg)
+    full = (f - 1) * hop + nfft
+    norm = jnp.asarray(_norm_np(cfg, f, full))
+    out = roundtrip_signal_fused(
+        padded, nfft, hop, f, w64, norm, cfg.eps, interpret=True
+    )
+    pad = spec.pad_amount
+    y = np.asarray(out[..., pad : pad + total])
+    assert y.shape == x.shape
+    for c in range(2):
+        assert snr_db(x[c], y[c]) > 90.0
