@@ -473,6 +473,7 @@ def roundtrip_signal_fused(
     eps: float = 1e-8,
     out_len: int | None = None,
     interpret: bool = False,
+    tile: int = _DEF_TILE,
 ) -> jnp.ndarray:
     """[..., Lp] padded signal -> [..., out_len] NORMALIZED reconstruction:
     framing + windowed folded rDFT + inverse + unfold + overlap-add +
@@ -489,7 +490,8 @@ def roundtrip_signal_fused(
         out_len = full
     w32 = jnp.asarray(np.asarray(analysis_window_f64, np.float32))
     fn = lambda p: _rt_ola_call(  # noqa: E731
-        p, w32, norm, nfft, hop, n_frames, out_len, eps, interpret=interpret
+        p, w32, norm, nfft, hop, n_frames, out_len, eps, tile=tile,
+        interpret=interpret,
     )
     if padded.ndim == 1:
         return fn(padded)

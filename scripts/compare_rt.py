@@ -1,0 +1,138 @@
+"""Interleaved round-robin comparison of round-trip variants on the TPU.
+
+All variants' chains are timed in a single rotating schedule so every
+variant samples the same tunnel-contention windows; per-variant device time
+is min(t_big) - min(t_small) over the whole run. This is the only reliable
+way to RANK implementations on the flaky tunnel (separate runs land in
+different windows and can differ 2x for identical code).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from crlot_tpu.core.padding import pad_signal  # noqa: E402
+from crlot_tpu.core.types import StftConfig  # noqa: E402
+from crlot_tpu.fft import dispatch as _fftd  # noqa: E402
+from crlot_tpu.fft.matmul_backend import (  # noqa: E402
+    roundtrip_folded_matmul,
+    roundtrip_folded_tiled,
+)
+from crlot_tpu.fft.pallas_rt import roundtrip_signal_fused  # noqa: E402
+from crlot_tpu.frame.framing import frame_signal  # noqa: E402
+from crlot_tpu.ola.fused import ola_normalized_auto  # noqa: E402
+from crlot_tpu.pipeline import _norm_np, _window_f64  # noqa: E402
+
+K_SMALL, K_BIG, ROUNDS = 10, 60, 12
+
+
+def build_chain(fn, k):
+    def chained(s0, xx):
+        def body(s, _):
+            out = fn(xx + s)
+            return jnp.sum(out).astype(jnp.float32) * 1e-30, ()
+
+        c, _ = jax.lax.scan(body, s0, length=k)
+        return c
+
+    return jax.jit(chained)
+
+
+def main() -> None:
+    n, hop = 1024, 256
+    seconds = 60
+    if "--seconds" in sys.argv:
+        seconds = int(sys.argv[sys.argv.index("--seconds") + 1])
+    cfg = StftConfig(frame_size=n, hop_size=hop, center=True)
+    total = 48000 * seconds
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.uniform(-0.9, 0.9, total).astype(np.float32))
+
+    spec = cfg.frame_spec
+    num_frames = spec.num_frames(total)
+    w64 = _window_f64(cfg)
+    full = (num_frames - 1) * hop + n
+    norm = jnp.asarray(_norm_np(cfg, num_frames, full))
+    pad = spec.pad_amount
+    prec = _fftd.to_lax_precision(cfg.fft_precision)
+
+    def xla_rt(rt_fn):
+        def fn(s):
+            frames = frame_signal(s, spec)
+            out_frames = rt_fn(frames, n, w64, None, prec)
+            out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
+            return out[..., pad : pad + total]
+
+        return fn
+
+    def fullfused(s):
+        padded = pad_signal(s, pad, pad, spec.pad_mode, spec.pad_value)
+        out = roundtrip_signal_fused(
+            padded, n, hop, num_frames, w64, norm, cfg.eps
+        )
+        return out[..., pad : pad + total]
+
+    def fullfused_tile(tb):
+        def fn(s):
+            padded = pad_signal(s, pad, pad, spec.pad_mode, spec.pad_value)
+            out = roundtrip_signal_fused(
+                padded, n, hop, num_frames, w64, norm, cfg.eps, tile=tb
+            )
+            return out[..., pad : pad + total]
+
+        return fn
+
+    variants = {
+        "xla_folded": xla_rt(roundtrip_folded_matmul),
+        "xla_tiled": xla_rt(roundtrip_folded_tiled),
+        "fullfused": fullfused,
+        "fullfused_t120": fullfused_tile(120),
+        "fullfused_t240": fullfused_tile(240),
+        "fullfused_t504": fullfused_tile(504),
+    }
+    if "--only" in sys.argv:
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
+
+    chains = {}
+    for name, fn in variants.items():
+        chains[name] = (build_chain(fn, K_SMALL), build_chain(fn, K_BIG))
+        for c in chains[name]:
+            float(c(jnp.float32(0), x))  # compile + warm
+    print(json.dumps({"compiled": list(chains)}), flush=True)
+
+    t = {name: ([], []) for name in chains}
+    for _ in range(ROUNDS):
+        for name, (cs, cb) in chains.items():
+            for idx, c in ((0, cs), (1, cb)):
+                t0 = time.perf_counter()
+                float(c(jnp.float32(0), x))
+                t[name][idx].append(time.perf_counter() - t0)
+    for name, (ts, tb) in t.items():
+        ms = max((min(tb) - min(ts)) / (K_BIG - K_SMALL), 1e-9) * 1e3
+        print(
+            json.dumps(
+                {
+                    "variant": name,
+                    "ms": round(ms, 4),
+                    "gsamples_per_s": round(total / ms / 1e6, 3),
+                    "min_small_ms": round(min(ts) * 1e3, 1),
+                    "min_big_ms": round(min(tb) * 1e3, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

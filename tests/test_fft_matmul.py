@@ -1,7 +1,10 @@
 """Matmul-DFT backend vs XLA FFT equivalence (tiered RMSE gates)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
+
+from crlot_tpu.core.types import WindowType
 
 from crlot_tpu.fft.matmul_backend import irfft_matmul, rfft_matmul
 
@@ -208,3 +211,62 @@ def test_dispatch_matmul_uses_folded_for_even_sizes():
         np.asarray(irfft(spec, 512, FftBackend.MATMUL)),
         np.asarray(irfft_folded(spec, 512)),
     )
+
+
+@pytest.mark.parametrize("nfft", [256, 512, 1024, 2048])
+def test_tiled_roundtrip_matches_folded(nfft):
+    """The lane-aligned tiled decomposition (512-core matmuls + rank-1
+    borders, matmul_backend._tiled_consts) must match the plain folded path
+    within f32 accumulation-order noise at every precision tier."""
+    import jax
+
+    from crlot_tpu.fft.matmul_backend import (
+        roundtrip_folded_matmul,
+        roundtrip_folded_tiled,
+        tiled_supported,
+    )
+    from crlot_tpu.window.windows import get_window
+
+    assert tiled_supported(nfft)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (17, nfft)).astype(np.float32))
+    w64 = get_window(WindowType.HANN, nfft, True, dtype=np.float64)
+    for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH):
+        t = np.asarray(roundtrip_folded_tiled(x, nfft, w64, None, prec))
+        f = np.asarray(roundtrip_folded_matmul(x, nfft, w64, None, prec))
+        tol = 2e-6 if prec == jax.lax.Precision.HIGHEST else 5e-5
+        assert np.max(np.abs(t - f)) < tol
+
+
+def test_tiled_parts_spectrum_matches_numpy():
+    """Tiled packed layout (re512, nyquist, im_eff) reassembles to the
+    numpy rfft of the windowed frame."""
+    from crlot_tpu.fft.matmul_backend import rfft_folded_tiled_parts
+    from crlot_tpu.window.windows import get_window
+
+    nfft = 512
+    h = nfft // 2
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-1, 1, (5, nfft)).astype(np.float32)
+    w64 = get_window(WindowType.HAMMING, nfft, True, dtype=np.float64)
+    re512, re_nyq, im_eff = rfft_folded_tiled_parts(
+        jnp.asarray(x), nfft, jnp.asarray(w64.astype(np.float32))
+    )
+    want = np.fft.rfft(x.astype(np.float64) * w64, axis=-1)
+    re = np.concatenate([np.asarray(re512), np.asarray(re_nyq)], axis=-1)
+    assert np.max(np.abs(re - want.real)) < 1e-3  # HIGHEST default tier
+    im = np.asarray(im_eff)
+    assert np.max(np.abs(im - want.imag[:, 1:h])) < 1e-3
+    # Im[0] and Im[Nyquist] are exactly zero for real input.
+    assert np.max(np.abs(want.imag[:, 0])) < 1e-9
+    assert np.max(np.abs(want.imag[:, h])) < 1e-9
+
+
+def test_tiled_supported_predicate():
+    from crlot_tpu.fft.matmul_backend import MAX_MATMUL_NFFT, tiled_supported
+
+    assert tiled_supported(256)
+    assert tiled_supported(1024)
+    assert not tiled_supported(128)  # h = 64 not lane-aligned
+    assert not tiled_supported(1000)
+    assert not tiled_supported(2 * MAX_MATMUL_NFFT)
