@@ -87,7 +87,7 @@ def main() -> None:
     snr = snr_db(np.asarray(x), np.asarray(y))
     assert snr > 60.0, f"round-trip SNR {snr:.1f} dB < 60 dB gate"
 
-    per_iter = _measure(fn_one, x)
+    per_iter = _measure(fn_one, x, k_small=8, k_big=40, reps=10)
     samples_per_sec = total / per_iter
 
     from crlot_tpu.profiling import roofline_samples_per_sec

@@ -21,7 +21,7 @@ import jax
 # Published HBM bandwidth / peak compute by device kind (per-chip).
 _DEVICE_SPECS = {
     # device_kind substring: (hbm_bytes_per_sec, bf16_flops, f32_flops)
-    "TPU v5 lite": (819e9, 394e12, 98e12),   # v5e
+    "TPU v5 lite": (819e9, 197e12, 98e12),   # v5e (197 TF bf16; 394 is int8)
     "TPU v5": (1228e9, 459e12, 115e12),      # v5p (fallback match after v5e)
     "TPU v4": (1200e9, 275e12, 69e12),
     "TPU v6": (1640e9, 918e12, 230e12),      # trillium
@@ -54,6 +54,12 @@ def roundtrip_traffic(
     FLOPs: the symmetry-folded DFT matmul is N*(N/2+1) MACs per frame per
     direction (fft/matmul_backend.py::rfft_folded_packed), the direct basis
     2*N*(N+2) MACs; FFT is 5*N*log2(N) per direction.
+
+    APPROXIMATE by construction: XLA's fusion can eliminate some modeled
+    passes (e.g. folding elementwise stages into matmul operands), so a
+    well-fused pipeline can measure slightly ABOVE this "roofline" — treat
+    roofline_pct near or over 100 as "the modeled passes are fully fused",
+    not as a physical violation.
     """
     import math
 
