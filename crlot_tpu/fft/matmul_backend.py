@@ -328,14 +328,53 @@ def roundtrip_folded_tiled(
     return out
 
 
+def _tiled_to_complex(re512, re_nyq, im_eff) -> jnp.ndarray:
+    re = jnp.concatenate([re512, re_nyq], axis=-1)
+    zero = jnp.zeros_like(re_nyq)
+    im = jnp.concatenate([zero, im_eff, zero], axis=-1)
+    return jax.lax.complex(re, im)
+
+
+def rfft_tiled(
+    x: jnp.ndarray, nfft: int, window_f64=None, precision=None
+) -> jnp.ndarray:
+    """Real [..., nfft] -> complex64 [..., K] via the lane-aligned tiled
+    cores (requires tiled_supported(nfft)); window optional (f64 design)."""
+    w = (
+        None
+        if window_f64 is None
+        else jnp.asarray(np.asarray(window_f64, np.float32))
+    )
+    return _tiled_to_complex(*rfft_folded_tiled_parts(x, nfft, w, precision))
+
+
+def irfft_tiled(spec: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
+    """Complex [..., K] -> real [..., nfft] via the tiled cores. The Im[0]
+    and Im[Nyquist] inputs are ignored (exactly zero for any spectrum that
+    came from real input; callers with synthetic spectra get the same
+    projection the reference irfft applies)."""
+    h = nfft // 2
+    return irfft_folded_tiled_parts(
+        spec.real[..., :h],
+        spec.real[..., h : h + 1],
+        spec.imag[..., 1:h],
+        nfft,
+        precision,
+    )
+
+
 def rfft_folded(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     """Real [..., nfft] -> complex64 [..., K] via the folded half-bases."""
+    if tiled_supported(nfft):
+        return rfft_tiled(x, nfft, None, precision)
     re, im = rfft_folded_packed(x, nfft, None, precision)
     return jax.lax.complex(re, im)
 
 
 def irfft_folded(spec: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     """Complex [..., K] -> real [..., nfft] via the folded half-bases."""
+    if tiled_supported(nfft):
+        return irfft_tiled(spec, nfft, precision)
     return irfft_folded_parts(spec.real, spec.imag, nfft, precision)
 
 
@@ -343,6 +382,8 @@ def rfft_windowed_folded(
     x: jnp.ndarray, nfft: int, window_f64: np.ndarray, precision=None
 ) -> jnp.ndarray:
     """rfft(x * window) -> complex64 via the folded half-bases."""
+    if tiled_supported(nfft):
+        return rfft_tiled(x, nfft, window_f64, precision)
     w = jnp.asarray(np.asarray(window_f64, np.float32))
     re, im = rfft_folded_packed(x, nfft, w, precision)
     return jax.lax.complex(re, im)
