@@ -103,3 +103,45 @@ def test_sharded_synthesis_window_mode():
     want = np.asarray(round_trip(jnp.asarray(x), cfg))
     got = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh))
     np.testing.assert_array_equal(got, want)
+
+
+def test_halo_comm_volume_is_o_frame_not_o_block():
+    """Weak-scaling proxy (BASELINE.json >= 80% on >= 2 hosts can't run on
+    CI): verify from the compiled HLO that the sharded round-trip moves only
+    O(N - H) bytes per block edge via collective-permute — independent of
+    block length — so per-device communication stays constant as blocks
+    grow (the weak-scaling property by construction).
+    """
+    import re
+
+    import jax
+
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.distributed.mesh import make_mesh
+    from crlot_tpu.distributed.sharded_pipeline import sharded_round_trip_jit
+
+    cfg = StftConfig(frame_size=256, hop_size=128, center=False)
+    mesh = make_mesh(time=4)
+    run = sharded_round_trip_jit(cfg, mesh)
+
+    def permute_bytes(total):
+        x = np.zeros((1, total), np.float32)
+        txt = jax.jit(run).lower(x).compile().as_text()
+        bytes_moved = 0
+        for m in re.finditer(r"f32\[([\d,]*)\][^\n]*collective-permute", txt):
+            dims = m.group(1)
+            n = 1
+            for d in dims.split(",") if dims else []:
+                if d:
+                    n *= int(d)
+            bytes_moved += 4 * n
+        return bytes_moved
+
+    small = permute_bytes(4 * 2048)
+    large = permute_bytes(4 * 8192)
+    assert small > 0, "expected halo collective-permutes in the HLO"
+    # O(N - H) per edge: volume must NOT grow with the block size.
+    assert large == small, (small, large)
+    # And it is bounded by a few halos of N - H samples per device.
+    halo = cfg.frame_size - cfg.hop_size
+    assert small <= 4 * halo * 4 * 4  # <= 4 halos/device x 4 devices x 4 B
