@@ -92,9 +92,19 @@ def main() -> None:
 
         return fn
 
+    def tiled_jnp_ola(s):
+        from crlot_tpu.ola.reference import normalize, overlap_add
+
+        frames = frame_signal(s, spec)
+        out_frames = roundtrip_folded_tiled(frames, n, w64, None, prec)
+        acc = overlap_add(out_frames, hop, full)
+        out = normalize(acc, norm[:full], cfg.eps)
+        return out[..., pad : pad + total]
+
     variants = {
         "xla_folded": xla_rt(roundtrip_folded_matmul),
         "xla_tiled": xla_rt(roundtrip_folded_tiled),
+        "xla_tiled_jnp_ola": tiled_jnp_ola,
         "fullfused": fullfused,
         "fullfused_t120": fullfused_tile(120),
         "fullfused_t240": fullfused_tile(240),
