@@ -30,6 +30,9 @@ python -c "from crlot_tpu.io.native import native_available; print('native:', na
 echo "== tests =="
 python -m pytest tests/ -q 2>&1 | tee "$OUT/tests.txt"
 
+echo "== tpu smoke gate =="
+retry 600 3 python scripts/tpu_smoke.py 2>&1 | tee "$OUT/tpu_smoke.txt"
+
 echo "== bench suite =="
 retry 600 3 python -m crlot_tpu.bench.suite --out "$OUT/suite.json"
 

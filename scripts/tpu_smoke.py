@@ -1,0 +1,130 @@
+"""TPU-side smoke gate: run the core quality contracts ON the real chip.
+
+CPU tests (interpret-mode Pallas, XLA:CPU) cannot catch Mosaic lowering
+failures or TPU-only numerics (example: vmap of an HBM-input pallas_call
+lowers fine nowhere but fails only on device). This script compiles and
+runs every TPU-dispatched code path at small sizes and asserts the same
+gates the test suite uses. Exit 0 = all pass.
+
+Usage: python scripts/tpu_smoke.py   (run under `timeout` + retry — tunnel)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    assert jax.default_backend() == "tpu", (
+        f"smoke gate needs the TPU backend, got {jax.default_backend()}"
+    )
+    import crlot_tpu as ct
+    from crlot_tpu.core.padding import pad_signal
+    from crlot_tpu.fft.pallas_rt import (
+        roundtrip_frames_fused,
+        roundtrip_signal_fused,
+    )
+    from crlot_tpu.pipeline import _norm_np, _window_f64
+
+    rng = np.random.default_rng(0)
+    results = []
+
+    def check(name, cond, detail=""):
+        results.append((name, bool(cond), detail))
+        print(f"{'PASS' if cond else 'FAIL'} {name} {detail}", flush=True)
+
+    # 1. Round-trip SNR gates on the default (tiled matmul) path, mono and
+    #    batched, both hop ratios.
+    for hop in (256, 512):
+        cfg = ct.StftConfig(frame_size=1024, hop_size=hop, center=True)
+        x = rng.uniform(-0.9, 0.9, (2, 24000)).astype(np.float32)
+        y = np.asarray(jax.jit(lambda s, c=cfg: ct.round_trip(s, c))(x))
+        snr = float(ct.snr_db(x, y))
+        check(f"round_trip_h{hop}_batched", snr > 60.0, f"snr={snr:.1f}dB")
+
+    # 2. Fused Pallas kernels (both layouts) vs the pipeline output.
+    cfg = ct.StftConfig(frame_size=1024, hop_size=256, center=True)
+    x1 = rng.uniform(-0.9, 0.9, 24000).astype(np.float32)
+    ref = np.asarray(jax.jit(lambda s: ct.round_trip(s, cfg))(jnp.asarray(x1)))
+    spec = cfg.frame_spec
+    f = spec.num_frames(x1.shape[-1])
+    padded = pad_signal(
+        jnp.asarray(x1), spec.pad_amount, spec.pad_amount, spec.pad_mode,
+        spec.pad_value,
+    )
+    w64 = _window_f64(cfg)
+    full = (f - 1) * cfg.hop_size + cfg.frame_size
+    norm = jnp.asarray(_norm_np(cfg, f, full))
+    out = roundtrip_signal_fused(
+        padded, cfg.frame_size, cfg.hop_size, f, w64, norm, cfg.eps
+    )
+    got = np.asarray(out)[spec.pad_amount : spec.pad_amount + x1.shape[-1]]
+    err = float(np.max(np.abs(got - ref)))
+    check("pallas_signal_fused_vs_pipeline", err < 2e-4, f"max_err={err:.2e}")
+    frames_out = roundtrip_frames_fused(
+        padded, cfg.frame_size, cfg.hop_size, f, w64
+    )
+    check(
+        "pallas_frames_fused_shape",
+        frames_out.shape == (f, cfg.frame_size),
+        str(frames_out.shape),
+    )
+
+    # 3. Opt-in fused config end-to-end.
+    cfg_f = ct.StftConfig(
+        frame_size=1024, hop_size=256, center=True, fused_roundtrip=True
+    )
+    yf = np.asarray(jax.jit(lambda s: ct.round_trip(s, cfg_f))(jnp.asarray(x1)))
+    snrf = float(ct.snr_db(x1, yf))
+    check("fused_roundtrip_config", snrf > 60.0, f"snr={snrf:.1f}dB")
+
+    # 4. Plan API (scrub path) + CT backend (large pow2).
+    plan = ct.make_fft_plan(
+        ct.FftPlanDesc(domain=ct.FftDomain.REAL, nfft=1024, batch=4)
+    )
+    fr = rng.uniform(-1, 1, (4, 1024)).astype(np.float32)
+    fr[0, 0] = np.nan
+    sp = plan.forward(jnp.asarray(fr))
+    back = np.asarray(plan.inverse(sp))
+    check("plan_scrub_finite", np.isfinite(back).all())
+    big = rng.uniform(-1, 1, (2, 8192)).astype(np.float32)
+    from crlot_tpu.fft import dispatch as _fftd
+
+    spec_big = _fftd.rfft(jnp.asarray(big), 8192)
+    rt_big = np.asarray(_fftd.irfft(spec_big, 8192))
+    rmse = float(np.sqrt(np.mean((rt_big - big) ** 2)))
+    check("ct_backend_8192_roundtrip", rmse < 1e-4, f"rmse={rmse:.2e}")
+
+    # 5. Resampler on MXU.
+    t = np.arange(24000, dtype=np.float32) / 48000
+    sine = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y48 = np.asarray(ct.resample(jnp.asarray(sine), 48000, 44100))
+    check(
+        "resample_44k1",
+        abs(y48.shape[-1] - int(len(sine) * 44100 / 48000)) <= 1,
+        str(y48.shape),
+    )
+
+    # 6. Streaming scan pipeline on device (uncentered by design; output is
+    #    sample-aligned with an N-sample partial-coverage warm-up).
+    cfg_s = ct.StftConfig(frame_size=1024, hop_size=256, center=False)
+    ys, valid_from = ct.streaming_round_trip(x1, cfg_s)
+    m = min(len(x1), len(ys))
+    snrs = float(ct.snr_db(x1[valid_from:m], np.asarray(ys)[valid_from:m]))
+    check("streaming_round_trip", snrs > 60.0, f"snr={snrs:.1f}dB")
+
+    failed = [r for r in results if not r[1]]
+    print(f"{len(results) - len(failed)}/{len(results)} passed", flush=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
