@@ -53,12 +53,18 @@ def _peak_analysis(mono: np.ndarray, sr: int) -> None:
     from .fft.dispatch import rfft
     from .window.windows import get_window
 
+    import jax
+
     n = 4096
     while n > len(mono):
         n //= 2
     seg = mono[:n] * get_window(WindowType.HANN, n, periodic=True)
-    spec = np.asarray(rfft(jnp.asarray(seg), n))
-    mag = np.abs(spec)
+    # Keep device work under jit AND read back only real arrays: the axon
+    # tunnel cannot transfer complex64 to host (UNIMPLEMENTED), so the
+    # magnitude is computed in-jit (CLAUDE.md gotchas).
+    mag = np.asarray(
+        jax.jit(lambda s: jnp.abs(rfft(s, n)))(jnp.asarray(seg))
+    )
     top = np.argsort(mag)[::-1][:10]
     print(f"== spectrum == N={n}, top-10 peaks:")
     print(f"  {'bin':>6} {'freq (Hz)':>10} {'mag (dB)':>9}")
@@ -99,9 +105,12 @@ def _round_trip_demo(mono: np.ndarray, sr: int) -> None:
     from .metrics import snr_db
     from .pipeline import round_trip
 
+    import jax
+
     cfg = StftConfig(frame_size=1024, hop_size=256, center=True)
+    fn = jax.jit(lambda s: round_trip(s, cfg))  # one program, no eager ops
     t0 = time.time()
-    y = np.asarray(round_trip(mono, cfg))
+    y = np.asarray(fn(mono))
     dt = time.time() - t0
     print(f"== round-trip == N=1024 H=256: SNR {snr_db(mono, y):.1f} dB, "
           f"{len(mono) / dt / 1e6:.1f} Msamples/s (incl. host transfers)")
