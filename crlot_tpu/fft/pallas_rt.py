@@ -152,15 +152,68 @@ def _flip_lanes(src, jref):
     return d(hi) + d(lo)
 
 
+def _build_fold_operands(nfft, hop, r_count, n_rows, bx_s, w_ref, wf_ref,
+                         ybuf, zbuf, ebuf, obuf, jhop=None, flip_src=None,
+                         valid=None):
+    """Build the folded-DFT even/odd operands for `n_rows` consecutive
+    frames into ebuf/obuf.
+
+    y chunk r = bx[f + r] * w chunk r (windowed frame low half);
+    z chunk r = flip(bx[f + R-1-r]) * flip(w) chunk r (windowed REVERSED
+    frame low half) — the flip comes from the in-kernel exchange matmul
+    (jhop) or a precomputed flipped copy (flip_src). `valid` (optional
+    [n_rows, 1] bool) zero-masks phantom frames before the matmuls.
+    """
+    h = nfft // 2
+    half = r_count // 2
+    for r in range(half):
+        ybuf[:, r * hop : (r + 1) * hop] = (
+            bx_s[r : r + n_rows, :] * w_ref[0:1, r * hop : (r + 1) * hop]
+        )
+        shift = r_count - 1 - r
+        rev = (
+            flip_src[shift : shift + n_rows, :]
+            if flip_src is not None
+            else _flip_lanes(bx_s[shift : shift + n_rows, :], jhop)
+        )
+        zbuf[:, r * hop : (r + 1) * hop] = (
+            rev * wf_ref[0:1, r * hop : (r + 1) * hop]
+        )
+    ycol = bx_s[half : half + n_rows, 0:1] * w_ref[0:1, h : h + 1]
+
+    sel = (
+        (lambda v: v)
+        if valid is None
+        else (lambda v: jnp.where(valid, v, 0.0))
+    )
+    ebuf[:, 0:1] = sel(ybuf[:, 0:1])
+    ebuf[:, 1:h] = sel(ybuf[:, 1:h] + zbuf[:, 0 : h - 1])
+    ebuf[:, h : h + 1] = sel(ycol)
+    zero_col = jnp.zeros((n_rows, 1), jnp.float32)
+    obuf[:, 0:1] = zero_col
+    obuf[:, 1:h] = sel(ybuf[:, 1:h] - zbuf[:, 0 : h - 1])
+    obuf[:, h : h + 1] = zero_col
+
+
+def _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil):
+    """Folded forward + inverse: (a, b) with out[:, :K] = a + b and
+    out[:, K:] = flip-cols(a - b)."""
+    re = _dot3(ebuf[:], ch, cl)
+    im = _dot3(obuf[:], sh, sl)
+    return _dot3(re, cih, cil), _dot3(im, sih, sil)
+
+
 def _rt_kernel(nfft, hop, r_count, tm, flip_mm, *args):
     if flip_mm:
         (bx_hbm, w_ref, wf_ref, jhop,
          ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
          out_ref, bx_s, ybuf, zbuf, ebuf, obuf, sems) = args
+        fbx_s = None
     else:
         (bx_hbm, fbx_hbm, w_ref, wf_ref,
          ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
          out_ref, bx_s, fbx_s, ybuf, zbuf, ebuf, obuf, sems) = args
+        jhop = None
     i = pl.program_id(0)
     rows = bx_s.shape[0]
     d1 = pltpu.make_async_copy(
@@ -176,38 +229,12 @@ def _rt_kernel(nfft, hop, r_count, tm, flip_mm, *args):
     if not flip_mm:
         d2.wait()
 
+    _build_fold_operands(
+        nfft, hop, r_count, tm, bx_s, w_ref, wf_ref, ybuf, zbuf, ebuf, obuf,
+        jhop=jhop, flip_src=fbx_s,
+    )
+    a, b = _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil)
     h = nfft // 2
-    half = r_count // 2
-    # y[:, :h] = windowed frame low half; z[:, :h] = windowed reversed-frame
-    # low half. z chunk r = flip(bx[f + R-1-r]) * flip(w) chunk r — either
-    # from the precomputed fbx copy or the in-kernel exchange matmul.
-    for r in range(half):
-        ybuf[:, r * hop : (r + 1) * hop] = (
-            bx_s[r : r + tm, :] * w_ref[0:1, r * hop : (r + 1) * hop]
-        )
-        shift = r_count - 1 - r
-        rev = (
-            _flip_lanes(bx_s[shift : shift + tm, :], jhop)
-            if flip_mm
-            else fbx_s[shift : shift + tm, :]
-        )
-        zbuf[:, r * hop : (r + 1) * hop] = (
-            rev * wf_ref[0:1, r * hop : (r + 1) * hop]
-        )
-    ycol = bx_s[half : half + tm, 0:1] * w_ref[0:1, h : h + 1]
-
-    ebuf[:, 0:1] = ybuf[:, 0:1]
-    ebuf[:, 1:h] = ybuf[:, 1:h] + zbuf[:, 0 : h - 1]
-    ebuf[:, h : h + 1] = ycol
-    zero_col = jnp.zeros((tm, 1), jnp.float32)
-    obuf[:, 0:1] = zero_col
-    obuf[:, 1:h] = ybuf[:, 1:h] - zbuf[:, 0 : h - 1]
-    obuf[:, h : h + 1] = zero_col
-
-    re = _dot3(ebuf[:], ch, cl)
-    im = _dot3(obuf[:], sh, sl)
-    a = _dot3(re, cih, cil)
-    b = _dot3(im, sih, sil)
     out_ref[:, 0 : h + 1] = a + b
     out_ref[:, h + 1 : nfft] = _dot3(a - b, jh, jl)
 
@@ -326,42 +353,18 @@ def _rt_ola_kernel(nfft, hop, r_count, tb, n_frames, eps,
     d1.start()
     d1.wait()
 
-    h = nfft // 2
-    half = r_count // 2
-    for r in range(half):
-        ybuf[:, r * hop : (r + 1) * hop] = (
-            bx_s[r : r + nf, :] * w_ref[0:1, r * hop : (r + 1) * hop]
-        )
-        shift = r_count - 1 - r
-        rev = _flip_lanes(bx_s[shift : shift + nf, :], jhop)
-        zbuf[:, r * hop : (r + 1) * hop] = (
-            rev * wf_ref[0:1, r * hop : (r + 1) * hop]
-        )
-    ycol = bx_s[half : half + nf, 0:1] * w_ref[0:1, h : h + 1]
-
     # Mask phantom frames: local row g is frame i*tb - (R-1) + g.
     f_abs = (
         jax.lax.broadcasted_iota(jnp.int32, (nf, 1), 0)
         + i * tb - (r_count - 1)
     )
     valid = jnp.logical_and(f_abs >= 0, f_abs < n_frames)
-
-    ebuf[:, 0:1] = jnp.where(valid, ybuf[:, 0:1], 0.0)
-    ebuf[:, 1:h] = jnp.where(
-        valid, ybuf[:, 1:h] + zbuf[:, 0 : h - 1], 0.0
+    _build_fold_operands(
+        nfft, hop, r_count, nf, bx_s, w_ref, wf_ref, ybuf, zbuf, ebuf, obuf,
+        jhop=jhop, valid=valid,
     )
-    ebuf[:, h : h + 1] = jnp.where(valid, ycol, 0.0)
-    zero_col = jnp.zeros((nf, 1), jnp.float32)
-    obuf[:, 0:1] = zero_col
-    obuf[:, 1:h] = jnp.where(
-        valid, ybuf[:, 1:h] - zbuf[:, 0 : h - 1], 0.0
-    )
-    obuf[:, h : h + 1] = zero_col
-
-    re = _dot3(ebuf[:], ch, cl)
-    im = _dot3(obuf[:], sh, sl)
-    a = _dot3(re, cih, cil)
-    b = _dot3(im, sih, sil)
+    a, b = _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil)
+    h = nfft // 2
     rtf[:, 0 : h + 1] = a + b
     rtf[:, h + 1 : nfft] = _dot3(a - b, jh, jl)
 
