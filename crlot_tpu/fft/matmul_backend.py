@@ -255,6 +255,30 @@ def tiled_supported(nfft: int) -> bool:
     return nfft % 256 == 0 and nfft <= MAX_MATMUL_NFFT
 
 
+@lru_cache(maxsize=None)
+def _tiled_inverse_gained(nfft: int, gains_bytes: bytes):
+    """Tiled inverse consts with a REAL per-bin gain g[K] folded in (f64,
+    exact): a = (Re * g) @ Cinv == Re @ (diag(g) @ Cinv), so a fixed
+    spectral EQ costs exactly zero — the constants absorb it.
+
+    Returns (ci512_g, si_eff_g, cvec_g, g_nyq) mirroring _tiled_consts'
+    inverse pieces with rows k scaled by g[k]."""
+    g = np.frombuffer(gains_bytes, dtype=np.float64)
+    h = nfft // 2
+    assert len(g) == h + 1
+    cinv, sinv = _folded_inverse_consts(nfft)
+    ci512_g = np.ascontiguousarray(
+        (cinv[:h, :h].astype(np.float64) * g[:h, None]).astype(np.float32)
+    )
+    si_eff_g = np.ascontiguousarray(
+        (sinv[1:h, :].astype(np.float64) * g[1:h, None]).astype(np.float32)
+    )
+    cvec_g = np.ascontiguousarray(
+        (cinv[:h, h].astype(np.float64) * g[:h]).astype(np.float32)
+    )
+    return ci512_g, si_eff_g, cvec_g, float(g[h])
+
+
 def rfft_folded_tiled_parts(
     x: jnp.ndarray, nfft: int, window_f32=None, precision=None
 ):
@@ -287,18 +311,27 @@ def irfft_folded_tiled_parts(
     im_eff: jnp.ndarray,
     nfft: int,
     precision=None,
+    per_bin_gains_f64=None,
 ) -> jnp.ndarray:
-    """Tiled-layout packed spectrum -> real [..., nfft] (includes 1/N)."""
+    """Tiled-layout packed spectrum -> real [..., nfft] (includes 1/N).
+
+    `per_bin_gains_f64` (optional f64 [K]) applies a REAL per-bin spectral
+    gain at zero runtime cost by scaling the inverse constants."""
     _, _, ci512, si_eff, cvec, alt, sign_h = _tiled_consts(nfft)
+    g_nyq = 1.0
+    if per_bin_gains_f64 is not None:
+        ci512, si_eff, cvec, g_nyq = _tiled_inverse_gained(
+            nfft, np.ascontiguousarray(per_bin_gains_f64, np.float64).tobytes()
+        )
     h = nfft // 2
     altj = jnp.asarray(alt)
     a512 = (
         jnp.dot(re512, jnp.asarray(ci512), precision=_prec(precision))
-        + re_nyq * (altj / nfft)
+        + (re_nyq * g_nyq) * (altj / nfft)
     )
     a_nyq = (
         jnp.sum(re512 * jnp.asarray(cvec), axis=-1, keepdims=True)
-        + re_nyq * (sign_h / nfft)
+        + re_nyq * (g_nyq * sign_h / nfft)
     )
     b = jnp.dot(im_eff, jnp.asarray(si_eff), precision=_prec(precision))
     mid = a512[..., 1:h]
@@ -314,15 +347,20 @@ def roundtrip_folded_tiled(
     analysis_window_f64: np.ndarray,
     synthesis_window_f64=None,
     precision=None,
+    per_bin_gains_f64=None,
 ) -> jnp.ndarray:
-    """irfft(rfft(frames * w)) with every matmul dim a multiple of 128: the
-    four folded half-bases shed their (h+1)-th row/column into exact
-    alternating-sign rank-1 VPU corrections (see _tiled_consts), cutting
-    MXU block count 36% at N=1024 vs roundtrip_folded_matmul (5x5 -> 4x4
-    tiles of 128 per matmul) with identical-tier numerics."""
+    """irfft(rfft(frames * w) [* g]) with every matmul dim a multiple of
+    128: the four folded half-bases shed their (h+1)-th row/column into
+    exact alternating-sign rank-1 VPU corrections (see _tiled_consts),
+    cutting MXU block count 36% at N=1024 vs roundtrip_folded_matmul
+    (5x5 -> 4x4 tiles of 128 per matmul) with identical-tier numerics.
+    A real per-bin spectral gain g[K] folds into the inverse constants
+    (per_bin_gains_f64) — fixed spectral EQ runs at identity cost."""
     w = jnp.asarray(np.asarray(analysis_window_f64, np.float32))
     re512, re_nyq, im_eff = rfft_folded_tiled_parts(frames, nfft, w, precision)
-    out = irfft_folded_tiled_parts(re512, re_nyq, im_eff, nfft, precision)
+    out = irfft_folded_tiled_parts(
+        re512, re_nyq, im_eff, nfft, precision, per_bin_gains_f64
+    )
     if synthesis_window_f64 is not None:
         out = out * jnp.asarray(np.asarray(synthesis_window_f64, np.float32))
     return out

@@ -143,8 +143,17 @@ def round_trip(
                 out_frames, norm, cfg.hop_size, full, cfg.eps
             )
             return out[..., pad : pad + signal.shape[-1]]
+    from .spectral import resolve_per_bin_gains
+
+    # A fixed REAL per-bin spectral fn (EQ / real FIR response / gain) folds
+    # into the inverse DFT constants on the tiled path — zero runtime cost.
+    per_bin = (
+        resolve_per_bin_gains(spectral_fn, cfg.frame_size)
+        if tiled_supported(cfg.frame_size)
+        else None
+    )
     use_packed = (
-        spectral_fn is None
+        (spectral_fn is None or per_bin is not None)
         and matmul_ok
         and cfg.frame_size <= MAX_MATMUL_NFFT
         and on_tpu
@@ -153,16 +162,23 @@ def round_trip(
         frames = frame_signal(signal, cfg.frame_spec)
         w64 = _window_f64(cfg)
         if tiled_supported(cfg.frame_size):
-            rt = roundtrip_folded_tiled
-        elif cfg.frame_size % 2 == 0:
-            rt = roundtrip_folded_matmul
+            out_frames = roundtrip_folded_tiled(
+                frames, cfg.frame_size, w64,
+                w64 if cfg.synthesis_window else None,
+                precision=_fft.to_lax_precision(cfg.fft_precision),
+                per_bin_gains_f64=per_bin,
+            )
         else:
-            rt = roundtrip_packed_matmul
-        out_frames = rt(
-            frames, cfg.frame_size, w64,
-            w64 if cfg.synthesis_window else None,
-            precision=_fft.to_lax_precision(cfg.fft_precision),
-        )
+            rt = (
+                roundtrip_folded_matmul
+                if cfg.frame_size % 2 == 0
+                else roundtrip_packed_matmul
+            )
+            out_frames = rt(
+                frames, cfg.frame_size, w64,
+                w64 if cfg.synthesis_window else None,
+                precision=_fft.to_lax_precision(cfg.fft_precision),
+            )
         num_frames = frames.shape[-2]
         pad = cfg.frame_spec.pad_amount
         full = (num_frames - 1) * cfg.hop_size + cfg.frame_size

@@ -21,6 +21,7 @@ def gain(g: float) -> Callable:
     def f(spec):
         return spec * jnp.asarray(g, dtype=spec.real.dtype)
 
+    f.per_bin_gains = lambda nfft: np.full(nfft // 2 + 1, g, np.float64)
     return f
 
 
@@ -31,6 +32,11 @@ def per_bin_filter(h: jnp.ndarray) -> Callable:
     def f(spec):
         return spec * jnp.asarray(h)[..., None, :]
 
+    hn = np.asarray(h)
+    if hn.ndim == 1 and np.isrealobj(hn):
+        f.per_bin_gains = lambda nfft: (
+            hn.astype(np.float64) if len(hn) == nfft // 2 + 1 else None
+        )
     return f
 
 
@@ -94,12 +100,13 @@ def band_gain(edges_hz: Sequence[float], gains: Sequence[float],
     if len(gains) != len(edges_hz) + 1:
         raise ValueError("need len(gains) == len(edges_hz) + 1")
     freqs = np.arange(nfft // 2 + 1) * (sample_rate / nfft)
-    g = np.asarray(gains, dtype=np.float32)[np.searchsorted(edges_hz, freqs)]
-    gj = jnp.asarray(g)
+    g = np.asarray(gains, dtype=np.float64)[np.searchsorted(edges_hz, freqs)]
+    gj = jnp.asarray(g.astype(np.float32))
 
     def f(spec):
         return spec * gj[..., None, :]
 
+    f.per_bin_gains = lambda n: g if n == nfft else None
     return f
 
 
@@ -111,4 +118,35 @@ def compose(*fns: Callable) -> Callable:
             spec = fn(spec)
         return spec
 
+    def _gains(nfft):
+        total = np.ones(nfft // 2 + 1, np.float64)
+        for fn in fns:
+            gfn = getattr(fn, "per_bin_gains", None)
+            g = gfn(nfft) if gfn is not None else None
+            if g is None:
+                return None
+            total = total * g
+        return total
+
+    f.per_bin_gains = _gains
     return f
+
+
+def resolve_per_bin_gains(spectral_fn, nfft: int):
+    """The packed-fast-path protocol: a spectral fn that is a fixed REAL
+    per-bin multiply exposes `.per_bin_gains(nfft) -> f64 [K] | None`; the
+    pipeline folds such gains into the inverse DFT constants and keeps the
+    packed (no-complex) round-trip — fixed EQ at identity-round-trip cost.
+    Returns the gains or None (not applicable / not foldable)."""
+    if spectral_fn is None:
+        return None
+    gfn = getattr(spectral_fn, "per_bin_gains", None)
+    if gfn is None:
+        return None
+    g = gfn(nfft)
+    if g is None:
+        return None
+    g = np.asarray(g, np.float64)
+    if g.shape != (nfft // 2 + 1,) or not np.isfinite(g).all():
+        return None
+    return g

@@ -86,6 +86,25 @@ def main() -> int:
     snrf = float(ct.snr_db(x1, yf))
     check("fused_roundtrip_config", snrf > 60.0, f"snr={snrf:.1f}dB")
 
+    # 3b. Foldable spectral EQ: the packed fast path (gains folded into the
+    #     inverse constants) must match the complex-spectrum route.
+    import crlot_tpu.spectral as spc
+    from crlot_tpu.pipeline import istft, stft
+
+    eq = spc.band_gain([2000.0, 8000.0], [1.0, 0.5, 0.1], 48000, 1024)
+    y_fast = np.asarray(
+        jax.jit(lambda s: ct.round_trip(s, cfg, spectral_fn=eq))(
+            jnp.asarray(x1)
+        )
+    )
+    y_cplx = np.asarray(
+        jax.jit(
+            lambda s: istft(eq(stft(s, cfg)), cfg, length=x1.shape[-1])
+        )(jnp.asarray(x1))
+    )
+    eq_err = float(np.max(np.abs(y_fast - y_cplx)))
+    check("spectral_eq_folded_fastpath", eq_err < 5e-4, f"max_err={eq_err:.2e}")
+
     # 4. Plan API (scrub path) + CT backend (large pow2).
     plan = ct.make_fft_plan(
         ct.FftPlanDesc(domain=ct.FftDomain.REAL, nfft=1024, batch=4)

@@ -1,5 +1,6 @@
 """Spectral processing ops through the full pipeline."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -93,3 +94,72 @@ def test_compose():
 def test_band_gain_validation():
     with pytest.raises(ValueError):
         S.band_gain([100.0], [1.0], 48000, 1024)
+
+
+def test_per_bin_gains_protocol():
+    """Real per-bin ops expose foldable gains; complex/nonlinear ones don't."""
+    import crlot_tpu.spectral as sp
+    from crlot_tpu.spectral import resolve_per_bin_gains
+
+    n = 512
+    k = n // 2 + 1
+    g = resolve_per_bin_gains(sp.gain(0.5), n)
+    assert g is not None and np.allclose(g, 0.5)
+    bg = sp.band_gain([1000.0], [1.0, 0.25], 48000, n)
+    g2 = resolve_per_bin_gains(bg, n)
+    assert g2 is not None and g2.shape == (k,)
+    assert resolve_per_bin_gains(bg, 2 * n) is None  # wrong nfft
+    h = np.linspace(1.0, 0.0, k)
+    assert resolve_per_bin_gains(sp.per_bin_filter(h), n) is not None
+    hc = h.astype(np.complex64)
+    assert resolve_per_bin_gains(sp.per_bin_filter(hc), n) is None
+    assert resolve_per_bin_gains(sp.noise_gate(-40), n) is None  # nonlinear
+    comp = sp.compose(sp.gain(2.0), sp.per_bin_filter(h))
+    g3 = resolve_per_bin_gains(comp, n)
+    assert g3 is not None and np.allclose(g3, 2.0 * h)
+    comp2 = sp.compose(sp.gain(2.0), sp.noise_gate(-40))
+    assert resolve_per_bin_gains(comp2, n) is None
+
+
+@pytest.mark.parametrize("nfft", [256, 1024])
+def test_folded_gains_match_complex_path(nfft):
+    """Gains folded into the inverse constants == explicit complex-domain
+    multiply, within the precision tier."""
+    import jax
+
+    import crlot_tpu.spectral as sp
+    from crlot_tpu.core.types import WindowType
+    from crlot_tpu.fft.matmul_backend import roundtrip_folded_tiled
+    from crlot_tpu.window.windows import get_window
+
+    rng = np.random.default_rng(11)
+    f = 9
+    x = jnp.asarray(rng.uniform(-1, 1, (f, nfft)).astype(np.float32))
+    w64 = get_window(WindowType.HANN, nfft, True, dtype=np.float64)
+    k = nfft // 2 + 1
+    g = np.linspace(1.5, 0.1, k).astype(np.float64)
+    got = np.asarray(
+        roundtrip_folded_tiled(
+            x, nfft, w64, None, jax.lax.Precision.HIGHEST,
+            per_bin_gains_f64=g,
+        )
+    )
+    spec = np.fft.rfft(np.asarray(x, np.float64) * w64, axis=-1) * g
+    want = np.fft.irfft(spec, n=nfft, axis=-1)
+    assert np.max(np.abs(got - want)) < 5e-6
+
+
+def test_round_trip_spectral_fastpath_consistency():
+    """round_trip with a foldable spectral_fn equals the complex route on
+    CPU (where the packed path is disabled, proving both formulations)."""
+    import crlot_tpu.spectral as sp
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.pipeline import istft, round_trip, stft
+
+    cfg = StftConfig(frame_size=512, hop_size=128, center=True)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.uniform(-1, 1, 6000).astype(np.float32))
+    fn = sp.band_gain([2000.0, 8000.0], [1.0, 0.5, 0.1], 48000, 512)
+    via_rt = np.asarray(round_trip(x, cfg, spectral_fn=fn))
+    via_spec = np.asarray(istft(fn(stft(x, cfg)), cfg, length=6000))
+    assert np.max(np.abs(via_rt - via_spec)) < 5e-5
