@@ -71,16 +71,39 @@ def _block_round_trip(
         (global_start + n <= total_len) & (global_start >= valid_start)
     )[None, :, None]
 
-    spec = _fft.rfft_windowed(
-        frames, n, window_f64, backend=cfg.fft_backend,
-        precision=_fft.to_lax_precision(cfg.fft_precision),
+    from ..core.types import FftBackend
+    from ..fft.matmul_backend import (
+        irfft_folded_tiled_parts,
+        rfft_folded_tiled_parts,
+        tiled_supported,
     )
-    if spectral_fn is not None:
-        spec = spectral_fn(spec)
-    out_frames = _fft.irfft(
-        spec, n, backend=cfg.fft_backend,
-        precision=_fft.to_lax_precision(cfg.fft_precision),
+    from ..spectral import resolve_per_bin_gains
+
+    prec = _fft.to_lax_precision(cfg.fft_precision)
+    on_matmul = _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
+    per_bin = (
+        resolve_per_bin_gains(spectral_fn, n)
+        if spectral_fn is not None and on_matmul and tiled_supported(n)
+        else None
     )
+    if on_matmul and tiled_supported(n) and (
+        spectral_fn is None or per_bin is not None
+    ):
+        # Packed no-complex path; a foldable REAL per-bin spectral fn rides
+        # the inverse constants for free (pipeline.round_trip parity).
+        w32 = jnp.asarray(window_f64.astype(np.float32))
+        re512, re_nyq, im_eff = rfft_folded_tiled_parts(frames, n, w32, prec)
+        out_frames = irfft_folded_tiled_parts(
+            re512, re_nyq, im_eff, n, prec, per_bin
+        )
+    else:
+        spec = _fft.rfft_windowed(
+            frames, n, window_f64, backend=cfg.fft_backend, precision=prec
+        )
+        if spectral_fn is not None:
+            spec = spectral_fn(spec)
+        out_frames = _fft.irfft(spec, n, backend=cfg.fft_backend,
+                                precision=prec)
     if cfg.synthesis_window:
         out_frames = out_frames * jnp.asarray(
             window_f64.astype(np.float32)

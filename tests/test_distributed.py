@@ -145,3 +145,50 @@ def test_halo_comm_volume_is_o_frame_not_o_block():
     # And it is bounded by a few halos of N - H samples per device.
     halo = cfg.frame_size - cfg.hop_size
     assert small <= 4 * halo * 4 * 4  # <= 4 halos/device x 4 devices x 4 B
+
+
+def test_sharded_packed_spectral_fastpath():
+    """Forced-MATMUL sharded round-trip takes the packed tiled path (no
+    complex spectrum) with a foldable EQ; must match the complex-route
+    unsharded result within the tier, and stay bit-identical across mesh
+    sizes."""
+    import jax.numpy as jnp
+
+    import crlot_tpu.spectral as sp
+    from crlot_tpu.core.types import FftBackend, StftConfig
+    from crlot_tpu.distributed.mesh import make_mesh
+    from crlot_tpu.distributed.sharded_pipeline import sharded_round_trip
+    from crlot_tpu.pipeline import istft, stft
+
+    cfg = StftConfig(
+        frame_size=512, hop_size=128, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    rng = np.random.default_rng(21)
+    total = 4 * 4096
+    x = rng.uniform(-0.9, 0.9, (1, total)).astype(np.float32)
+    eq = sp.band_gain([3000.0], [1.0, 0.3], 48000, 512)
+
+    y4 = np.asarray(
+        sharded_round_trip(jnp.asarray(x), cfg, make_mesh(time=4),
+                           spectral_fn=eq)
+    )
+    y1 = np.asarray(
+        sharded_round_trip(jnp.asarray(x), cfg, make_mesh(time=1),
+                           spectral_fn=eq)
+    )
+    # Tier-level mesh consistency on the interior (CPU GEMM accumulation
+    # order varies with the per-device M dim, so forced-matmul-on-CPU is
+    # not bit-stable across mesh sizes; the bit-identity contract is
+    # asserted on the default backend paths elsewhere in this file).
+    # Edges are excluded: center=False boundary samples divide by eps.
+    interior = slice(512, -512)
+    np.testing.assert_allclose(y4[0][interior], y1[0][interior], rtol=2e-4,
+                               atol=1e-4)
+
+    want = np.asarray(istft(eq(stft(jnp.asarray(x[0]), cfg)), cfg,
+                            length=total))
+    frames_cover = ((total - 512) // 128) * 128 + 512
+    a, b = y4[0][interior], want[:frames_cover][interior]
+    m = min(len(a), len(b))
+    np.testing.assert_allclose(a[:m], b[:m], rtol=2e-4, atol=1e-4)
