@@ -45,22 +45,28 @@ def _timed_chain(fn_one, x, k: int):
     return jax.jit(chained)
 
 
-def _measure(fn_one, x, k_small=2, k_big=12, reps=8) -> float:
+def _measure(fn_one, x, k_small=2, k_big=12, reps=8, bursts=2,
+             burst_gap_s=45.0) -> float:
     """Per-iteration device seconds via two chain lengths, measured
     INTERLEAVED and differenced at their minima: the tunnel's per-call
     overhead swings by hundreds of ms between contention windows, and only
     at the uncontended floor (which both chain lengths visit at least once
-    across reps) does the constant overhead actually cancel."""
+    across reps) does the constant overhead actually cancel. Contention
+    windows last minutes, so the reps are split into `bursts` separated by
+    `burst_gap_s` — one burst can sit entirely inside a slow window."""
     f_small = _timed_chain(fn_one, x, k_small)
     f_big = _timed_chain(fn_one, x, k_big)
     float(f_small(x))  # compile + warm
     float(f_big(x))
     t_small, t_big = [], []
-    for _ in range(reps):
-        for f, acc in ((f_small, t_small), (f_big, t_big)):
-            t0 = time.perf_counter()
-            float(f(x))
-            acc.append(time.perf_counter() - t0)
+    for burst in range(bursts):
+        if burst:
+            time.sleep(burst_gap_s)
+        for _ in range(reps):
+            for f, acc in ((f_small, t_small), (f_big, t_big)):
+                t0 = time.perf_counter()
+                float(f(x))
+                acc.append(time.perf_counter() - t0)
     return max((min(t_big) - min(t_small)) / (k_big - k_small), 1e-9)
 
 
