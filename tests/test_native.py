@@ -146,3 +146,41 @@ def test_native_ring_zero_capacity_rejected():
     lib = N.get_lib()
     assert not lib.crlot_ring_create(0, 0)
     assert not lib.crlot_ring_create(-5, 0)
+
+
+def test_native_wav_fuzz(tmp_path):
+    """The C++ codec must reject or partially decode malformed WAVs cleanly
+    — clean WavFormatError, finite samples, no crash (dr_wav-posture,
+    io/wav.cc:30-58)."""
+    import numpy as np
+
+    from crlot_tpu.io.native import native_available, read_wav_native
+    from crlot_tpu.io.wav import WavFormatError, write_wav
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    good = tmp_path / "good.wav"
+    rng = np.random.default_rng(0)
+    write_wav(str(good), rng.uniform(-0.5, 0.5, 2000).astype(np.float32),
+              16000, bits=16)
+    blob = good.read_bytes()
+    cases = [blob[:c]
+             for c in (0, 3, 11, 12, 20, 43, 44, len(blob) // 2,
+                       len(blob) - 1)]
+    for pos in (0, 8, 20, 22, 34, 40):
+        b = bytearray(blob)
+        b[pos] ^= 0xFF
+        cases.append(bytes(b))
+    cases += [b"", b"RIFF" + b"\x00" * 100, rng.bytes(256)]
+    bad = tmp_path / "bad.wav"
+    for i, payload in enumerate(cases):
+        bad.write_bytes(payload)
+        try:
+            data, sr = read_wav_native(str(bad))
+        except (WavFormatError, ValueError) as e:
+            assert str(e), f"case {i}"
+            continue
+        assert np.isfinite(np.asarray(data)).all(), f"case {i}"
+        assert sr > 0, f"case {i}"

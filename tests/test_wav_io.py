@@ -171,3 +171,42 @@ def test_stream_reader_matches_full_read(tmp_path, oboe):
     np.testing.assert_array_equal(r.read_chunk(5), full[:, 100:105])
     got_iter = np.concatenate(list(WavStreamReader(p)), axis=1)
     np.testing.assert_array_equal(got_iter, full)
+
+
+def test_malformed_wav_fuzz(tmp_path):
+    """Truncations and byte corruptions of a valid WAV must raise a clean
+    WavFormatError/ValueError (or decode successfully) — never crash, hang,
+    or return non-finite audio. Reference posture: io/wav.cc:30-58 format
+    guards."""
+    import numpy as np
+
+    from crlot_tpu.io.wav import WavFormatError, read_wav, write_wav
+
+    good = tmp_path / "good.wav"
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-0.5, 0.5, 2000).astype(np.float32)
+    write_wav(str(good), x, 16000, bits=16)
+    blob = good.read_bytes()
+
+    cases = []
+    for cut in (0, 3, 11, 12, 20, 43, 44, len(blob) // 2, len(blob) - 1):
+        cases.append(blob[:cut])
+    for pos in (0, 8, 20, 22, 34, 40):
+        b = bytearray(blob)
+        b[pos] ^= 0xFF
+        cases.append(bytes(b))
+    cases.append(b"")
+    cases.append(b"RIFF" + b"\x00" * 100)
+    cases.append(rng.bytes(256))
+
+    bad = tmp_path / "bad.wav"
+    for i, payload in enumerate(cases):
+        bad.write_bytes(payload)
+        try:
+            data, sr = read_wav(str(bad))
+        except (WavFormatError, ValueError, EOFError) as e:
+            assert str(e), f"case {i}: empty error message"
+            continue
+        # Decoded despite corruption: output must still be sane.
+        assert np.isfinite(np.asarray(data)).all(), f"case {i}"
+        assert sr > 0, f"case {i}"
