@@ -64,14 +64,16 @@ def _pack_consts(n: int):
     )
 
 
-def _ct_fft(zr: jnp.ndarray, zi: jnp.ndarray, m1: int, m2: int):
+def _ct_fft(zr: jnp.ndarray, zi: jnp.ndarray, m1: int, m2: int,
+            precision=None):
     """Two-stage complex FFT on real/imag pairs [..., M] -> [..., M]."""
+    prec = _PRECISION if precision is None else precision
     d1r, d1i, d2r, d2i, twr, twi = map(jnp.asarray, _ct_consts(m1, m2))
     ar = zr.reshape(*zr.shape[:-1], m1, m2)
     ai = zi.reshape(*zi.shape[:-1], m1, m2)
     # Stage 1: B = D1 @ A (contract over n1, the second-to-last axis).
     ein = lambda mat, x: jnp.einsum(  # noqa: E731
-        "kn,...nm->...km", mat, x, precision=_PRECISION
+        "kn,...nm->...km", mat, x, precision=prec
     )
     br = ein(d1r, ar) - ein(d1i, ai)
     bi = ein(d1r, ai) + ein(d1i, ar)
@@ -80,7 +82,7 @@ def _ct_fft(zr: jnp.ndarray, zi: jnp.ndarray, m1: int, m2: int):
     ci = br * twi + bi * twr
     # Stage 2: Z = C @ D2 (contract over n2, the last axis).
     ein2 = lambda x, mat: jnp.einsum(  # noqa: E731
-        "...km,ml->...kl", x, mat, precision=_PRECISION
+        "...km,ml->...kl", x, mat, precision=prec
     )
     zr2 = ein2(cr, d2r) - ein2(ci, d2i)
     zi2 = ein2(cr, d2i) + ein2(ci, d2r)
@@ -91,13 +93,13 @@ def _ct_fft(zr: jnp.ndarray, zi: jnp.ndarray, m1: int, m2: int):
     return zr2, zi2
 
 
-def rfft_ct(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
+def rfft_ct(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     """Real [..., nfft] -> complex64 [..., nfft//2+1] via packed CT FFT."""
     m = nfft // 2
     m1, m2 = factor(m)
     x = x.astype(jnp.float32)
     zr, zi = x[..., 0::2], x[..., 1::2]
-    fr, fi = _ct_fft(zr, zi, m1, m2)
+    fr, fi = _ct_fft(zr, zi, m1, m2, precision)
     # Extend with Z[M] = Z[0]; Zc[k] = conj(Z[M-k]).
     fr_ext = jnp.concatenate([fr, fr[..., :1]], axis=-1)
     fi_ext = jnp.concatenate([fi, fi[..., :1]], axis=-1)
@@ -114,7 +116,7 @@ def rfft_ct(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
     return jax.lax.complex(xr, xi)
 
 
-def irfft_ct(spec: jnp.ndarray, nfft: int) -> jnp.ndarray:
+def irfft_ct(spec: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     """Complex [..., nfft//2+1] -> real [..., nfft] (includes 1/N)."""
     m = nfft // 2
     m1, m2 = factor(m)
@@ -135,25 +137,27 @@ def irfft_ct(spec: jnp.ndarray, nfft: int) -> jnp.ndarray:
     zr = 0.5 * (sr + dr)
     zi = 0.5 * (si + di)
     # ifft(z) = conj(fft(conj(z))) / M
-    fr, fi = _ct_fft(zr, -zi, m1, m2)
+    fr, fi = _ct_fft(zr, -zi, m1, m2, precision)
     tr, ti = fr / m, -fi / m
     out = jnp.stack([tr, ti], axis=-1).reshape(*tr.shape[:-1], nfft)
     return out
 
 
-def fft_ct(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
+def fft_ct(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     """Complex FFT [..., nfft] -> [..., nfft] via the two-stage CT matmuls."""
     m1, m2 = factor(nfft)
     zr, zi = _ct_fft(
-        x.real.astype(jnp.float32), x.imag.astype(jnp.float32), m1, m2
+        x.real.astype(jnp.float32), x.imag.astype(jnp.float32), m1, m2,
+        precision,
     )
     return jax.lax.complex(zr, zi)
 
 
-def ifft_ct(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
+def ifft_ct(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
     """Inverse complex FFT (includes 1/N): conj(fft(conj(x)))/N."""
     m1, m2 = factor(nfft)
     zr, zi = _ct_fft(
-        x.real.astype(jnp.float32), -x.imag.astype(jnp.float32), m1, m2
+        x.real.astype(jnp.float32), -x.imag.astype(jnp.float32), m1, m2,
+        precision,
     )
     return jax.lax.complex(zr / nfft, -zi / nfft)

@@ -53,7 +53,7 @@ def _mm_rfft(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
             return _mm.rfft_folded(x, nfft, precision)
         return _mm.rfft_matmul(x, nfft, precision)
     if _is_pow2(nfft):
-        return _ct.rfft_ct(x, nfft)
+        return _ct.rfft_ct(x, nfft, precision)
     return jnp.fft.rfft(x, n=nfft, axis=-1)
 
 
@@ -63,7 +63,7 @@ def _mm_irfft(x: jnp.ndarray, nfft: int, precision=None) -> jnp.ndarray:
             return _mm.irfft_folded(x, nfft, precision)
         return _mm.irfft_matmul(x, nfft, precision)
     if _is_pow2(nfft):
-        return _ct.irfft_ct(x, nfft)
+        return _ct.irfft_ct(x, nfft, precision)
     return jnp.fft.irfft(x, n=nfft, axis=-1)
 
 
@@ -114,18 +114,20 @@ def rfft_windowed(
 
 
 def fft_complex(
-    x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO
+    x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO,
+    precision=None,
 ) -> jnp.ndarray:
     """Complex forward FFT with backend dispatch (CT matmuls for power-of-2
     sizes on the MATMUL path, jnp.fft otherwise)."""
     if _pick(backend, nfft) == FftBackend.MATMUL and _is_pow2(nfft):
-        return _ct.fft_ct(x, nfft)
+        return _ct.fft_ct(x, nfft, precision)
     return jnp.fft.fft(x, n=nfft, axis=-1)
 
 
 def ifft_complex(
-    x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO
+    x: jnp.ndarray, nfft: int, backend: FftBackend = FftBackend.AUTO,
+    precision=None,
 ) -> jnp.ndarray:
     if _pick(backend, nfft) == FftBackend.MATMUL and _is_pow2(nfft):
-        return _ct.ifft_ct(x, nfft)
+        return _ct.ifft_ct(x, nfft, precision)
     return jnp.fft.ifft(x, n=nfft, axis=-1)

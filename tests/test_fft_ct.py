@@ -94,3 +94,21 @@ def test_plan_complex_matmul_backend():
     )
     y = np.asarray(plan.inverse_complex(plan.forward_complex(jnp.asarray(x))))
     assert np.max(np.abs(y - x)) < 1e-3
+
+
+def test_ct_high_tier_round_trip_snr():
+    """The pipeline's HIGH tier through the CT path (dispatch at N > 4096)
+    must still clear the 60 dB round-trip gate with margin."""
+    import jax
+    import jax.numpy as jnp
+
+    from crlot_tpu.fft.ct_backend import irfft_ct, rfft_ct
+    from crlot_tpu.metrics import snr_db
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, (4, 16384)).astype(np.float32)
+    prec = jax.lax.Precision.HIGH
+    y = np.asarray(
+        irfft_ct(rfft_ct(jnp.asarray(x), 16384, prec), 16384, prec)
+    )
+    assert snr_db(x, y) > 80.0
