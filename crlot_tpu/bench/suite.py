@@ -153,20 +153,24 @@ def main(argv=None) -> None:
     suites = set(args.suites.split(","))
     results: Dict[str, float] = {}
     t0 = time.time()
-    if "fft" in suites:
-        bench_fft(results)
-    if "kernels" in suites:
-        bench_kernels(results)
-    if "ola" in suites:
-        bench_ola(results)
-    if "e2e" in suites:
-        bench_e2e(results)
-    if "multichannel" in suites:
-        bench_multichannel(results)
-    if "sweep" in suites:
-        bench_sweep(results)
-    if "resample" in suites:
-        bench_resample(results)
+    # One flushed progress line per suite: the remote tunnel can hang
+    # mid-run and a single end-of-run print would lose every completed
+    # measurement (same policy as bench/stages.main_pipeline).
+    for name, fn in (
+        ("fft", bench_fft),
+        ("kernels", bench_kernels),
+        ("ola", bench_ola),
+        ("e2e", bench_e2e),
+        ("multichannel", bench_multichannel),
+        ("sweep", bench_sweep),
+        ("resample", bench_resample),
+    ):
+        if name not in suites:
+            continue
+        before = set(results)
+        fn(results)
+        partial = {k: v for k, v in results.items() if k not in before}
+        print(json.dumps({"suite": name, **partial}), flush=True)
     results["_backend"] = jax.default_backend()
     results["_wall_s"] = round(time.time() - t0, 1)
     line = json.dumps(results)

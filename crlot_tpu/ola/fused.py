@@ -36,12 +36,12 @@ _SUBLANES = 8
 _DEF_TILE = 32  # output hop-blocks per grid step
 
 
-def _fused_kernel(r_count: int, hop: int, extra: int, eps: float,
+def _fused_kernel(r_count: int, hop: int, extra: int, eps: float, dma_row,
                   hops_ref, norm_ref, out_ref, scratch, sem):
     b = pl.program_id(0)
     tb = out_ref.shape[0]
     dma = pltpu.make_async_copy(
-        hops_ref.at[pl.ds(b * tb, tb + extra), :], scratch, sem
+        hops_ref.at[pl.ds(dma_row(b), tb + extra), :], scratch, sem
     )
     dma.start()
     dma.wait()
@@ -58,34 +58,63 @@ def _fused_kernel(r_count: int, hop: int, extra: int, eps: float,
 
 @partial(jax.jit, static_argnames=("hop", "out_len", "eps", "interpret"))
 def ola_normalized_fused(
-    frames: jnp.ndarray,  # [F, N] f32 (windowed output frames)
+    frames: jnp.ndarray,  # [F, N] or [B, F, N] f32 (windowed output frames)
     norm: jnp.ndarray,  # [out_len] f32
     hop: int,
     out_len: int,
     eps: float = 1e-8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused OLA + divide for 2-D frames; see module docstring."""
-    f, n = frames.shape
+    """Fused OLA + divide for 2-D or batched 3-D frames; module docstring.
+
+    Batches pack into ONE kernel launch: each batch gets its own row region
+    of the padded hop-block matrix (front zeros realize the frame shift,
+    back padding rounds to a whole number of tiles), so no tile's diagonal
+    views ever cross a batch boundary and the 2-D kernel runs unchanged
+    over grid = B * tiles_per_batch.
+    """
+    batched = frames.ndim == 3
+    bsz = frames.shape[0] if batched else 1
+    f, n = frames.shape[-2:]
     r_count = -(-n // hop)
     n_pad = r_count * hop
     if n_pad != n:
-        frames = jnp.pad(frames, ((0, 0), (0, n_pad - n)))
+        frames = jnp.pad(
+            frames, ((0, 0),) * (frames.ndim - 1) + ((0, n_pad - n),)
+        )
     blocks = -(-out_len // hop)
     tile = _DEF_TILE
-    grid = -(-blocks // tile)
+    grid_b = -(-blocks // tile)
     extra = -(-(r_count - 1) // _SUBLANES) * _SUBLANES if r_count > 1 else 0
-    # Row b of the padded matrix holds frame b - (R-1) (front pad realizes
-    # the +(R-1-r) shift); back pad keeps every tile's DMA in range.
-    rows_needed = grid * tile + extra
-    back = max(0, rows_needed - f - (r_count - 1))
-    hops_p = jnp.pad(frames, ((r_count - 1, back), (0, 0)))
-    norm_p = jnp.pad(norm, (0, grid * tile * hop - out_len)).reshape(
-        grid * tile, hop
+    # Row b of each batch's padded matrix holds frame b - (R-1) (front pad
+    # realizes the +(R-1-r) shift); back pad keeps every tile's DMA inside
+    # the batch's own region.
+    rows_per = grid_b * tile + extra
+    back = max(0, rows_per - f - (r_count - 1))
+    pad_rows = ((r_count - 1, back), (0, 0))
+    if batched:
+        hops_p = jnp.pad(frames, ((0, 0),) + pad_rows).reshape(
+            bsz * rows_per, n_pad
+        )
+    else:
+        hops_p = jnp.pad(frames, pad_rows)
+    norm_p = jnp.pad(norm, (0, grid_b * tile * hop - out_len)).reshape(
+        grid_b * tile, hop
     )
+    if batched:
+        norm_p = jnp.tile(norm_p, (bsz, 1))
+
+    grid = bsz * grid_b
+
+    def dma_row(i):
+        # Tile i = (batch, local tile) — skip the `extra` tail rows of the
+        # previous batches so diagonal views stay batch-local.
+        if batched:
+            return i * tile + (i // grid_b) * extra
+        return i * tile
 
     out = pl.pallas_call(
-        partial(_fused_kernel, r_count, hop, extra, eps),
+        partial(_fused_kernel, r_count, hop, extra, eps, dma_row),
         out_shape=jax.ShapeDtypeStruct((grid * tile, hop), jnp.float32),
         grid=(grid,),
         in_specs=[
@@ -101,6 +130,8 @@ def ola_normalized_fused(
         ],
         interpret=interpret,
     )(hops_p, norm_p)
+    if batched:
+        return out.reshape(bsz, grid_b * tile * hop)[:, :out_len]
     return out.reshape(-1)[:out_len]
 
 
@@ -127,15 +158,12 @@ def ola_normalized_auto(
     if frames.ndim > 2 and fused_supported(frames.shape[-2:], hop) and on_tpu:
         # vmap of a pallas_call with HBM-resident inputs does not lower on
         # Mosaic (the batched index_map on a memory_space=ANY block is
-        # rejected); unroll the (small, static) batch axes instead — each
-        # iteration is an independent 2-D kernel launch.
+        # rejected); instead all batches pack into ONE launch via row
+        # stacking (see ola_normalized_fused).
         lead = frames.shape[:-2]
         flat = frames.reshape((-1,) + frames.shape[-2:])
-        outs = [
-            ola_normalized_fused(flat[i], norm, hop, out_len, eps)
-            for i in range(flat.shape[0])
-        ]
-        return jnp.stack(outs).reshape(lead + (out_len,))
+        out = ola_normalized_fused(flat, norm, hop, out_len, eps)
+        return out.reshape(lead + (out_len,))
     if frames.ndim == 2 and fused_supported(frames.shape, hop) and on_tpu:
         return ola_normalized_fused(frames, norm, hop, out_len, eps)
     acc = overlap_add(frames, hop, out_len)
