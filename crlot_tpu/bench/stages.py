@@ -134,7 +134,6 @@ def main_pipeline(seconds=60, n=1024, hop=256, only=None):
     from ..ola.fused import ola_normalized_auto
     from ..ola.norm import edge_norm
     from ..pipeline import _window_f64, round_trip
-    from ..window.windows import get_window
 
     sr = 48000
     total = sr * seconds

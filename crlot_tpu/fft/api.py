@@ -19,7 +19,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.types import FftDomain, FftPlanDesc
-from . import xla_backend as _xla
 
 
 class FftPlan:

@@ -14,7 +14,7 @@ multi-chip, shard the scan's frame batches by channel (distributed module).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
