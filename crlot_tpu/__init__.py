@@ -12,6 +12,7 @@ from .core.types import (
     FftBackend,
     FftDomain,
     FftPlanDesc,
+    FftPrecision,
     FrameSpec,
     NormalizationType,
     OLAConfig,

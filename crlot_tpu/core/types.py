@@ -82,11 +82,17 @@ class FftPrecision(enum.Enum):
     HIGHEST ~= true f32 (six bf16 passes): ~141 dB round-trip SNR.
     HIGH = three bf16 passes: ~95 dB round-trip SNR at ~8x the throughput
     (measured on v5e) — still 35 dB above the reference's 60 dB gate and
-    comparable to 16-bit audio dynamic range, so it is the default.
+    comparable to 16-bit audio dynamic range.
+    INT8X2 = three int8 passes per matmul on the MXU's double-rate int8
+    path (two-limb 14-bit operand split, exact int32 accumulation,
+    fft/int8_backend.py): ~78 dB round-trip SNR at ~2x the HIGH tier's
+    MXU throughput. Applies on the tiled matmul-DFT path (N % 256 == 0,
+    N <= 4096); other lowerings treat it as HIGH.
     """
 
     HIGHEST = "highest"
     HIGH = "high"
+    INT8X2 = "int8x2"
 
 
 class FftBackend(enum.Enum):

@@ -21,10 +21,13 @@ from . import matmul_backend as _mm
 
 
 def to_lax_precision(p):
-    """Map FftPrecision (or None) to jax.lax.Precision (None = backend default)."""
+    """Map FftPrecision (or None) to jax.lax.Precision (None = backend
+    default). INT8X2 maps to HIGH for lowerings that don't have an int8
+    formulation (the tiled round-trip dispatches to fft.int8_backend
+    before this fallback applies)."""
     if p is None:
         return None
-    if p == FftPrecision.HIGH:
+    if p in (FftPrecision.HIGH, FftPrecision.INT8X2):
         return _jax.lax.Precision.HIGH
     return _jax.lax.Precision.HIGHEST
 

@@ -162,12 +162,21 @@ def round_trip(
         frames = frame_signal(signal, cfg.frame_spec)
         w64 = _window_f64(cfg)
         if tiled_supported(cfg.frame_size):
-            out_frames = roundtrip_folded_tiled(
-                frames, cfg.frame_size, w64,
-                w64 if cfg.synthesis_window else None,
-                precision=_fft.to_lax_precision(cfg.fft_precision),
-                per_bin_gains_f64=per_bin,
-            )
+            if cfg.fft_precision == FftPrecision.INT8X2:
+                from .fft.int8_backend import roundtrip_folded_tiled_i8
+
+                out_frames = roundtrip_folded_tiled_i8(
+                    frames, cfg.frame_size, w64,
+                    w64 if cfg.synthesis_window else None,
+                    per_bin_gains_f64=per_bin,
+                )
+            else:
+                out_frames = roundtrip_folded_tiled(
+                    frames, cfg.frame_size, w64,
+                    w64 if cfg.synthesis_window else None,
+                    precision=_fft.to_lax_precision(cfg.fft_precision),
+                    per_bin_gains_f64=per_bin,
+                )
         else:
             rt = (
                 roundtrip_folded_matmul

@@ -101,9 +101,18 @@ def main() -> None:
         out = normalize(acc, norm[:full], cfg.eps)
         return out[..., pad : pad + total]
 
+    def int8_rt(s):
+        from crlot_tpu.fft.int8_backend import roundtrip_folded_tiled_i8
+
+        frames = frame_signal(s, spec)
+        out_frames = roundtrip_folded_tiled_i8(frames, n, w64, None)
+        out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
+        return out[..., pad : pad + total]
+
     variants = {
         "xla_folded": xla_rt(roundtrip_folded_matmul),
         "xla_tiled": xla_rt(roundtrip_folded_tiled),
+        "int8_tiled": int8_rt,
         "xla_tiled_jnp_ola": tiled_jnp_ola,
         "fullfused": fullfused,
         "fullfused_t120": fullfused_tile(120),
