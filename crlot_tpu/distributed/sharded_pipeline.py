@@ -83,18 +83,23 @@ def _block_round_trip(
     on_matmul = _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
     per_bin = (
         resolve_per_bin_gains(spectral_fn, n)
-        if spectral_fn is not None and on_matmul and tiled_supported(n)
+        if spectral_fn is not None and on_matmul
         else None
     )
-    if on_matmul and tiled_supported(n) and (
-        spectral_fn is None or per_bin is not None
-    ):
-        # Packed no-complex path; a foldable REAL per-bin spectral fn rides
-        # the inverse constants for free (pipeline.round_trip parity).
+    if per_bin is not None:
+        # A fixed real per-bin gain composes with the DFT bases into one
+        # [N, N] matmul (pipeline.round_trip parity).
+        from ..fft.matmul_backend import roundtrip_composed_matmul
+
+        out_frames = roundtrip_composed_matmul(
+            frames, n, window_f64, per_bin, precision=prec
+        )
+    elif on_matmul and tiled_supported(n) and spectral_fn is None:
+        # Packed no-complex path for the identity round-trip.
         w32 = jnp.asarray(window_f64.astype(np.float32))
         re512, re_nyq, im_eff = rfft_folded_tiled_parts(frames, n, w32, prec)
         out_frames = irfft_folded_tiled_parts(
-            re512, re_nyq, im_eff, n, prec, per_bin
+            re512, re_nyq, im_eff, n, prec, None
         )
     else:
         spec = _fft.rfft_windowed(

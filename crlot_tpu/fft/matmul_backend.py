@@ -446,6 +446,76 @@ def roundtrip_folded_matmul(
     return out
 
 
+@lru_cache(maxsize=None)
+def _composed_roundtrip_basis(
+    nfft: int,
+    awin_bytes: bytes,
+    swin_bytes,
+    gains_bytes: bytes,
+) -> np.ndarray:
+    """[N, N] M = diag(w_a) . B_f . diag(g) . B_i [. diag(w_s)], f64.
+
+    The whole frame -> spectrum -> per-bin gain -> frame round-trip is a
+    LINEAR map per frame, so for a FIXED real gain curve it composes into
+    one matrix on the host (exactly, in f64) and runs as ONE MXU matmul:
+    the same N^2 MAC count as the four folded half-matmuls
+    (4 x (N/2)^2), but zero spectrum intermediates in HBM, no
+    fold/unfold elementwise passes, and a single launch. Only the
+    identity case must NOT use this (g = 1 collapses M to diag(w) —
+    that would skip the DFT machinery the round-trip exists to run)."""
+    kk = nfft // 2 + 1
+    w = np.frombuffer(awin_bytes, dtype=np.float64)
+    g = np.frombuffer(gains_bytes, dtype=np.float64)
+    assert len(w) == nfft and len(g) == kk
+    k = np.arange(kk, dtype=np.float64)
+    n = np.arange(nfft, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n, k) / nfft
+    bf = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)  # [N, 2K]
+    hw = np.full(kk, 2.0)
+    hw[0] = 1.0
+    if nfft % 2 == 0:
+        hw[-1] = 1.0
+    ang_i = ang.T  # [K, N]
+    bi = np.concatenate(
+        [(hw[:, None] * np.cos(ang_i)) / nfft,
+         -(hw[:, None] * np.sin(ang_i)) / nfft],
+        axis=0,
+    )  # [2K, N]
+    g2 = np.concatenate([g, g])
+    m = (w[:, None] * bf * g2[None, :]) @ bi
+    if swin_bytes is not None:
+        ws = np.frombuffer(swin_bytes, dtype=np.float64)
+        m = m * ws[None, :]
+    return m.astype(np.float32)
+
+
+def roundtrip_composed_matmul(
+    frames: jnp.ndarray,
+    nfft: int,
+    analysis_window_f64: np.ndarray,
+    per_bin_gains_f64: np.ndarray,
+    synthesis_window_f64=None,
+    precision=None,
+) -> jnp.ndarray:
+    """irfft(rfft(frames * w) * g) [* w_s] as ONE [F, N] @ [N, N] matmul
+    (see _composed_roundtrip_basis). For fixed real per-bin gains only."""
+    m = jnp.asarray(
+        _composed_roundtrip_basis(
+            nfft,
+            np.ascontiguousarray(analysis_window_f64, np.float64).tobytes(),
+            None
+            if synthesis_window_f64 is None
+            else np.ascontiguousarray(
+                synthesis_window_f64, np.float64
+            ).tobytes(),
+            np.ascontiguousarray(per_bin_gains_f64, np.float64).tobytes(),
+        )
+    )
+    return jnp.dot(
+        frames.astype(jnp.float32), m, precision=_prec(precision)
+    )
+
+
 def roundtrip_packed_matmul(
     frames: jnp.ndarray,
     nfft: int,

@@ -145,11 +145,12 @@ def round_trip(
             return out[..., pad : pad + signal.shape[-1]]
     from .spectral import resolve_per_bin_gains
 
-    # A fixed REAL per-bin spectral fn (EQ / real FIR response / gain) folds
-    # into the inverse DFT constants on the tiled path — zero runtime cost.
+    # A fixed REAL per-bin spectral fn (EQ / real FIR response / gain)
+    # composes with the DFT bases into ONE [N, N] round-trip matrix
+    # (matmul_backend.roundtrip_composed_matmul) — cheaper than identity.
     per_bin = (
         resolve_per_bin_gains(spectral_fn, cfg.frame_size)
-        if tiled_supported(cfg.frame_size)
+        if cfg.frame_size <= MAX_MATMUL_NFFT
         else None
     )
     use_packed = (
@@ -161,7 +162,15 @@ def round_trip(
     if use_packed:
         frames = frame_signal(signal, cfg.frame_spec)
         w64 = _window_f64(cfg)
-        if tiled_supported(cfg.frame_size):
+        if per_bin is not None:
+            from .fft.matmul_backend import roundtrip_composed_matmul
+
+            out_frames = roundtrip_composed_matmul(
+                frames, cfg.frame_size, w64, per_bin,
+                w64 if cfg.synthesis_window else None,
+                precision=_fft.to_lax_precision(cfg.fft_precision),
+            )
+        elif tiled_supported(cfg.frame_size):
             if cfg.fft_precision == FftPrecision.INT8X2:
                 from .fft.int8_backend import roundtrip_folded_tiled_i8
 

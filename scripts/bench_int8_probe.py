@@ -55,6 +55,14 @@ def main() -> None:
             precision=prec, preferred_element_type=pref,
         )
 
+    def _q2(x):
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        ss = jnp.maximum(amax, 1e-30) / 16256.0
+        q = jnp.round(x / ss)
+        hi = jnp.clip(jnp.round(q * (1.0 / 128.0)), -127, 127)
+        lo = q - hi * 128.0
+        return hi.astype(jnp.int8), lo.astype(jnp.int8)
+
     variants = {
         # perturb input with the carry so the scan body can't be hoisted
         "bf16_1pass": lambda xx, s: dot(
@@ -73,6 +81,18 @@ def main() -> None:
                 pref=jnp.int32)
             + dot(x_i8 + jnp.int8(2), b_i8, pref=jnp.int32)
             + dot(x_i8 + jnp.int8(3), b_i8, pref=jnp.int32)
+        ),
+        # isolate the f32 -> int8 quantize/convert/relayout cost
+        "convert_only": lambda xx, s: (
+            (x_f32 + s).astype(jnp.int8).astype(jnp.int32)
+        ),
+        "quantize_2limb": lambda xx, s: (
+            lambda hl: hl[0].astype(jnp.int32) + hl[1]
+        )(_q2(x_f32 + s)),
+        # quantize inside the timed body, then one hi@hi dot: the real
+        # end-to-end cost of an int8 dot fed from f32 data
+        "int8_1pass_from_f32": lambda xx, s: dot(
+            _q2(x_f32 + s)[0], b_i8, pref=jnp.int32
         ),
     }
 

@@ -33,7 +33,12 @@ from crlot_tpu.frame.framing import frame_signal  # noqa: E402
 from crlot_tpu.ola.fused import ola_normalized_auto  # noqa: E402
 from crlot_tpu.pipeline import _norm_np, _window_f64  # noqa: E402
 
-K_SMALL, K_BIG, ROUNDS = 10, 60, 12
+K_SMALL, K_BIG = 10, 60
+ROUNDS = (
+    int(sys.argv[sys.argv.index("--rounds") + 1])
+    if "--rounds" in sys.argv
+    else 12
+)
 
 
 def build_chain(fn, k):
@@ -109,10 +114,32 @@ def main() -> None:
         out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
         return out[..., pad : pad + total]
 
+    def composed_eq(s):
+        from crlot_tpu.fft.matmul_backend import roundtrip_composed_matmul
+
+        gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
+        frames = frame_signal(s, spec)
+        out_frames = roundtrip_composed_matmul(
+            frames, n, w64, gains, precision=prec
+        )
+        out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
+        return out[..., pad : pad + total]
+
+    def tiled_eq(s):
+        gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
+        frames = frame_signal(s, spec)
+        out_frames = roundtrip_folded_tiled(
+            frames, n, w64, None, prec, per_bin_gains_f64=gains
+        )
+        out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
+        return out[..., pad : pad + total]
+
     variants = {
         "xla_folded": xla_rt(roundtrip_folded_matmul),
         "xla_tiled": xla_rt(roundtrip_folded_tiled),
         "int8_tiled": int8_rt,
+        "composed_eq": composed_eq,
+        "tiled_eq": tiled_eq,
         "xla_tiled_jnp_ola": tiled_jnp_ola,
         "fullfused": fullfused,
         "fullfused_t120": fullfused_tile(120),

@@ -163,3 +163,65 @@ def test_round_trip_spectral_fastpath_consistency():
     via_rt = np.asarray(round_trip(x, cfg, spectral_fn=fn))
     via_spec = np.asarray(istft(fn(stft(x, cfg)), cfg, length=6000))
     assert np.max(np.abs(via_rt - via_spec)) < 5e-5
+
+
+@pytest.mark.parametrize("nfft", [512, 999, 1000, 1024])
+def test_composed_roundtrip_matches_oracle(nfft):
+    """The one-matmul composed round-trip (diag(w).Bf.diag(g).Bi) matches
+    the f64 rfft*g -> irfft oracle, including odd and non-pow2 N."""
+    from crlot_tpu.fft.matmul_backend import roundtrip_composed_matmul
+    from crlot_tpu.window.windows import get_window
+    from crlot_tpu.core.types import WindowType
+
+    rng = np.random.default_rng(20)
+    w = get_window(WindowType.HANN, nfft, True, dtype=np.float64)
+    g = 10 ** rng.uniform(-1, 1, nfft // 2 + 1)
+    fr = rng.uniform(-1, 1, (8, nfft)).astype(np.float32)
+    got = np.asarray(roundtrip_composed_matmul(jnp.asarray(fr), nfft, w, g))
+    spec = np.fft.rfft(fr.astype(np.float64) * w, axis=-1) * g
+    want = np.fft.irfft(spec, n=nfft, axis=-1)
+    assert snr_db(want, got) > 100
+
+
+def test_composed_roundtrip_synthesis_window():
+    from crlot_tpu.fft.matmul_backend import roundtrip_composed_matmul
+    from crlot_tpu.window.windows import get_window
+    from crlot_tpu.core.types import WindowType
+
+    nfft = 512
+    rng = np.random.default_rng(21)
+    w = get_window(WindowType.HANN, nfft, True, dtype=np.float64)
+    g = 10 ** rng.uniform(-0.5, 0.5, nfft // 2 + 1)
+    fr = rng.uniform(-1, 1, (4, nfft)).astype(np.float32)
+    got = np.asarray(
+        roundtrip_composed_matmul(
+            jnp.asarray(fr), nfft, w, g, synthesis_window_f64=w
+        )
+    )
+    spec = np.fft.rfft(fr.astype(np.float64) * w, axis=-1) * g
+    want = np.fft.irfft(spec, n=nfft, axis=-1) * w
+    assert snr_db(want, got) > 100
+
+
+def test_composed_matches_tiled_gained_path():
+    """Composed one-matmul EQ and the tiled folded-gains formulation agree
+    (both vs each other; they share no code past the f64 design)."""
+    from crlot_tpu.fft.matmul_backend import (
+        roundtrip_composed_matmul,
+        roundtrip_folded_tiled,
+    )
+    from crlot_tpu.window.windows import get_window
+    from crlot_tpu.core.types import WindowType
+
+    nfft = 1024
+    rng = np.random.default_rng(22)
+    w = get_window(WindowType.HANN, nfft, True, dtype=np.float64)
+    g = 10 ** rng.uniform(-1, 1, nfft // 2 + 1)
+    fr = rng.uniform(-1, 1, (8, nfft)).astype(np.float32)
+    a = np.asarray(roundtrip_composed_matmul(jnp.asarray(fr), nfft, w, g))
+    b = np.asarray(
+        roundtrip_folded_tiled(
+            jnp.asarray(fr), nfft, w, per_bin_gains_f64=g
+        )
+    )
+    assert np.max(np.abs(a - b)) < 5e-5
