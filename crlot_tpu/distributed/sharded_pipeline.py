@@ -77,12 +77,12 @@ def _block_round_trip(
         rfft_folded_tiled_parts,
         tiled_supported,
     )
-    from ..spectral import resolve_per_bin_gains
+    from ..spectral import resolve_per_bin_response
 
     prec = _fft.to_lax_precision(cfg.fft_precision)
     on_matmul = _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
     per_bin = (
-        resolve_per_bin_gains(spectral_fn, n)
+        resolve_per_bin_response(spectral_fn, n)
         if spectral_fn is not None and on_matmul
         else None
     )

@@ -451,38 +451,36 @@ def _composed_roundtrip_basis(
     nfft: int,
     awin_bytes: bytes,
     swin_bytes,
-    gains_bytes: bytes,
+    response_bytes: bytes,
 ) -> np.ndarray:
-    """[N, N] M = diag(w_a) . B_f . diag(g) . B_i [. diag(w_s)], f64.
+    """[N, N] M = diag(w_a) . Re(B_f . diag(g) . B_i) [. diag(w_s)], f64.
 
-    The whole frame -> spectrum -> per-bin gain -> frame round-trip is a
-    LINEAR map per frame, so for a FIXED real gain curve it composes into
-    one matrix on the host (exactly, in f64) and runs as ONE MXU matmul:
-    the same N^2 MAC count as the four folded half-matmuls
-    (4 x (N/2)^2), but zero spectrum intermediates in HBM, no
-    fold/unfold elementwise passes, and a single launch. Only the
-    identity case must NOT use this (g = 1 collapses M to diag(w) —
-    that would skip the DFT machinery the round-trip exists to run)."""
+    The whole frame -> spectrum -> per-bin response -> frame round-trip
+    is a LINEAR map per frame, so for a FIXED response curve g [K]
+    (real gains OR complex — any per-frame LTI filter: EQ, FIR response,
+    fractional delay, allpass) it composes into one matrix on the host
+    (exactly, in f64) and runs as ONE MXU matmul: the same N^2 MAC count
+    as the four folded half-matmuls (4 x (N/2)^2), but zero spectrum
+    intermediates in HBM, no fold/unfold elementwise passes, and a
+    single launch. B_f = exp(-i ang) [N, K]; B_i = hw exp(+i ang^T) / N
+    with hermitian weights hw — taking Re() discards Im at DC/Nyquist
+    exactly as irfft does. Only the identity case must NOT use this
+    (g = 1 collapses M to diag(w) — that would skip the DFT machinery
+    the round-trip exists to run)."""
     kk = nfft // 2 + 1
     w = np.frombuffer(awin_bytes, dtype=np.float64)
-    g = np.frombuffer(gains_bytes, dtype=np.float64)
+    g = np.frombuffer(response_bytes, dtype=np.complex128)
     assert len(w) == nfft and len(g) == kk
     k = np.arange(kk, dtype=np.float64)
     n = np.arange(nfft, dtype=np.float64)
     ang = 2.0 * np.pi * np.outer(n, k) / nfft
-    bf = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)  # [N, 2K]
+    bf = np.exp(-1j * ang)  # [N, K]
     hw = np.full(kk, 2.0)
     hw[0] = 1.0
     if nfft % 2 == 0:
         hw[-1] = 1.0
-    ang_i = ang.T  # [K, N]
-    bi = np.concatenate(
-        [(hw[:, None] * np.cos(ang_i)) / nfft,
-         -(hw[:, None] * np.sin(ang_i)) / nfft],
-        axis=0,
-    )  # [2K, N]
-    g2 = np.concatenate([g, g])
-    m = (w[:, None] * bf * g2[None, :]) @ bi
+    bi = (hw * g)[:, None] * np.exp(1j * ang.T) / nfft  # [K, N]
+    m = w[:, None] * np.real(bf @ bi)
     if swin_bytes is not None:
         ws = np.frombuffer(swin_bytes, dtype=np.float64)
         m = m * ws[None, :]
@@ -493,12 +491,13 @@ def roundtrip_composed_matmul(
     frames: jnp.ndarray,
     nfft: int,
     analysis_window_f64: np.ndarray,
-    per_bin_gains_f64: np.ndarray,
+    per_bin_response: np.ndarray,
     synthesis_window_f64=None,
     precision=None,
 ) -> jnp.ndarray:
     """irfft(rfft(frames * w) * g) [* w_s] as ONE [F, N] @ [N, N] matmul
-    (see _composed_roundtrip_basis). For fixed real per-bin gains only."""
+    (see _composed_roundtrip_basis). g may be real gains or a complex
+    frequency response (hermitian extension implied, like irfft)."""
     m = jnp.asarray(
         _composed_roundtrip_basis(
             nfft,
@@ -508,7 +507,7 @@ def roundtrip_composed_matmul(
             else np.ascontiguousarray(
                 synthesis_window_f64, np.float64
             ).tobytes(),
-            np.ascontiguousarray(per_bin_gains_f64, np.float64).tobytes(),
+            np.ascontiguousarray(per_bin_response, np.complex128).tobytes(),
         )
     )
     return jnp.dot(

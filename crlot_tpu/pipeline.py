@@ -143,13 +143,14 @@ def round_trip(
                 out_frames, norm, cfg.hop_size, full, cfg.eps
             )
             return out[..., pad : pad + signal.shape[-1]]
-    from .spectral import resolve_per_bin_gains
+    from .spectral import resolve_per_bin_response
 
-    # A fixed REAL per-bin spectral fn (EQ / real FIR response / gain)
-    # composes with the DFT bases into ONE [N, N] round-trip matrix
+    # A fixed per-bin spectral fn (EQ / FIR response / fractional delay /
+    # allpass — real or complex curve) composes with the DFT bases into
+    # ONE [N, N] round-trip matrix
     # (matmul_backend.roundtrip_composed_matmul) — cheaper than identity.
     per_bin = (
-        resolve_per_bin_gains(spectral_fn, cfg.frame_size)
+        resolve_per_bin_response(spectral_fn, cfg.frame_size)
         if cfg.frame_size <= MAX_MATMUL_NFFT
         else None
     )

@@ -37,6 +37,11 @@ def per_bin_filter(h: jnp.ndarray) -> Callable:
         f.per_bin_gains = lambda nfft: (
             hn.astype(np.float64) if len(hn) == nfft // 2 + 1 else None
         )
+    if hn.ndim == 1:
+        # complex responses compose into the one-matmul round-trip too
+        f.per_bin_response = lambda nfft: (
+            hn.astype(np.complex128) if len(hn) == nfft // 2 + 1 else None
+        )
     return f
 
 
@@ -128,7 +133,20 @@ def compose(*fns: Callable) -> Callable:
             total = total * g
         return total
 
+    def _response(nfft):
+        total = np.ones(nfft // 2 + 1, np.complex128)
+        for fn in fns:
+            rfn = getattr(fn, "per_bin_response", None) or getattr(
+                fn, "per_bin_gains", None
+            )
+            r = rfn(nfft) if rfn is not None else None
+            if r is None:
+                return None
+            total = total * r
+        return total
+
     f.per_bin_gains = _gains
+    f.per_bin_response = _response
     return f
 
 
@@ -150,3 +168,24 @@ def resolve_per_bin_gains(spectral_fn, nfft: int):
     if g.shape != (nfft // 2 + 1,) or not np.isfinite(g).all():
         return None
     return g
+
+
+def resolve_per_bin_response(spectral_fn, nfft: int):
+    """Like resolve_per_bin_gains but for GENERAL fixed responses: any
+    spectral fn that is a fixed per-bin multiply by a real-or-complex
+    curve (EQ, FIR response, fractional delay, allpass) exposes
+    `.per_bin_response(nfft) -> complex [K] | None` (real `.per_bin_gains`
+    qualifies too). Such a response composes with the DFT bases into one
+    [N, N] round-trip matrix (matmul_backend.roundtrip_composed_matmul).
+    Returns complex128 [K] or None."""
+    if spectral_fn is None:
+        return None
+    rfn = getattr(spectral_fn, "per_bin_response", None)
+    r = rfn(nfft) if rfn is not None else None
+    if r is None:
+        g = resolve_per_bin_gains(spectral_fn, nfft)
+        return None if g is None else g.astype(np.complex128)
+    r = np.asarray(r, np.complex128)
+    if r.shape != (nfft // 2 + 1,) or not np.isfinite(r).all():
+        return None
+    return r

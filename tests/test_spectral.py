@@ -225,3 +225,84 @@ def test_composed_matches_tiled_gained_path():
         )
     )
     assert np.max(np.abs(a - b)) < 5e-5
+
+
+def test_composed_complex_response_delay():
+    """A complex response (pure delay exp(-i w d)) composes into the one-
+    matmul round-trip: output = windowed frame circularly shifted by d."""
+    from crlot_tpu.fft.matmul_backend import roundtrip_composed_matmul
+    from crlot_tpu.window.windows import get_window
+    from crlot_tpu.core.types import WindowType
+
+    nfft, d = 512, 37
+    rng = np.random.default_rng(23)
+    w = get_window(WindowType.HANN, nfft, True, dtype=np.float64)
+    k = np.arange(nfft // 2 + 1)
+    h = np.exp(-2j * np.pi * k * d / nfft)
+    fr = rng.uniform(-1, 1, (8, nfft)).astype(np.float32)
+    got = np.asarray(roundtrip_composed_matmul(jnp.asarray(fr), nfft, w, h))
+    want = np.roll(fr.astype(np.float64) * w, d, axis=-1)
+    assert snr_db(want, got) > 100
+
+
+def test_composed_complex_response_matches_oracle():
+    from crlot_tpu.fft.matmul_backend import roundtrip_composed_matmul
+    from crlot_tpu.window.windows import get_window
+    from crlot_tpu.core.types import WindowType
+
+    nfft = 1024
+    rng = np.random.default_rng(24)
+    w = get_window(WindowType.HANN, nfft, True, dtype=np.float64)
+    h = (
+        rng.standard_normal(nfft // 2 + 1)
+        + 1j * rng.standard_normal(nfft // 2 + 1)
+    )
+    fr = rng.uniform(-1, 1, (8, nfft)).astype(np.float32)
+    got = np.asarray(roundtrip_composed_matmul(jnp.asarray(fr), nfft, w, h))
+    spec = np.fft.rfft(fr.astype(np.float64) * w, axis=-1) * h
+    want = np.fft.irfft(spec, n=nfft, axis=-1)
+    assert snr_db(want, got) > 95
+
+
+def test_per_bin_response_protocol():
+    from crlot_tpu.spectral import (
+        resolve_per_bin_gains,
+        resolve_per_bin_response,
+    )
+
+    n = 512
+    k = n // 2 + 1
+    hc = (np.ones(k) * np.exp(-1j * np.linspace(0, 3, k))).astype(complex)
+    fc = S.per_bin_filter(hc)
+    # complex responses do NOT qualify as real gains...
+    assert resolve_per_bin_gains(fc, n) is None
+    # ...but DO qualify as composable responses
+    r = resolve_per_bin_response(fc, n)
+    assert r is not None and r.dtype == np.complex128
+    # real gains promote to responses
+    r2 = resolve_per_bin_response(S.gain(0.5), n)
+    assert r2 is not None and np.allclose(r2, 0.5)
+    # compositions chain complex responses
+    comp = S.compose(S.gain(2.0), S.per_bin_filter(hc))
+    r3 = resolve_per_bin_response(comp, n)
+    assert r3 is not None and np.allclose(r3, 2.0 * hc)
+    # nonlinear fns do not qualify
+    assert resolve_per_bin_response(S.noise_gate(-40), n) is None
+    # wrong-nfft responses rejected
+    assert resolve_per_bin_response(fc, 2 * n) is None
+
+
+def test_round_trip_complex_response_consistency():
+    """round_trip with a complex per-bin filter equals the explicit
+    stft -> multiply -> istft route on CPU."""
+    from crlot_tpu.pipeline import istft, round_trip, stft
+
+    cfg = StftConfig(frame_size=512, hop_size=128, center=True)
+    rng = np.random.default_rng(25)
+    x = jnp.asarray(rng.uniform(-1, 1, 6000).astype(np.float32))
+    k = np.arange(512 // 2 + 1)
+    h = (0.8 * np.exp(-2j * np.pi * k * 5 / 512)).astype(np.complex64)
+    fn = S.per_bin_filter(h)
+    via_rt = np.asarray(round_trip(x, cfg, spectral_fn=fn))
+    via_spec = np.asarray(istft(fn(stft(x, cfg)), cfg, length=6000))
+    assert np.max(np.abs(via_rt - via_spec)) < 5e-5
