@@ -89,6 +89,26 @@ def bench_e2e(results: Dict[str, float]) -> None:
         results[f"e2e_1s48k_n1024_h{hop}_snr_db"] = round(snr, 1)
 
 
+def bench_spectral(results: Dict[str, float]) -> None:
+    """Round-trip with a fixed spectral EQ: the composed one-matmul path
+    (round_trip resolves the per-bin response and runs [F,N] @ [N,N])."""
+    from ..core.types import StftConfig
+    from ..metrics import snr_db
+    from ..pipeline import round_trip
+    from ..spectral import band_gain
+
+    sr = 48000
+    cfg = StftConfig(frame_size=1024, hop_size=256, center=True)
+    eq = band_gain([2000.0, 8000.0], [1.0, 0.5, 0.1], float(sr), 1024)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.9, 0.9, sr).astype(np.float32)
+    y = jax.jit(lambda s: round_trip(s, cfg, spectral_fn=eq))(x)
+    assert np.isfinite(np.asarray(y)).all()
+    sec = _time(lambda s: round_trip(s, cfg, spectral_fn=eq), x)
+    results["eq_composed_1s48k_ms"] = round(sec * 1e3, 3)
+    results["eq_composed_msamples_per_s"] = round(sr / sec / 1e6, 1)
+
+
 def bench_multichannel(results: Dict[str, float]) -> None:
     """BASELINE config 4: 64-channel batch, per-channel STFT/OLA round-trip
     (sharded across chips when more than one device is present)."""
@@ -146,7 +166,8 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument(
-        "--suites", default="fft,kernels,ola,e2e,multichannel,sweep,resample",
+        "--suites",
+        default="fft,kernels,ola,e2e,spectral,multichannel,sweep,resample",
         help="comma-separated subset",
     )
     args = ap.parse_args(argv)
@@ -161,6 +182,7 @@ def main(argv=None) -> None:
         ("kernels", bench_kernels),
         ("ola", bench_ola),
         ("e2e", bench_e2e),
+        ("spectral", bench_spectral),
         ("multichannel", bench_multichannel),
         ("sweep", bench_sweep),
         ("resample", bench_resample),

@@ -7,6 +7,14 @@ import argparse
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+# allow `python examples/<name>.py` without installing the package
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import crlot_tpu as ct
 
 

@@ -15,6 +15,14 @@ import os
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+# allow `python examples/<name>.py` without installing the package
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import crlot_tpu as ct
 from crlot_tpu.checkpoint import load_stream_state, save_stream_state
 from crlot_tpu.core.types import OLAConfig
