@@ -45,8 +45,8 @@ def _timed_chain(fn_one, x, k: int):
     return jax.jit(chained)
 
 
-def _measure(fn_one, x, k_small=2, k_big=12, reps=8, bursts=2,
-             burst_gap_s=45.0) -> float:
+def _measure(fn_one, x, k_small=2, k_big=12, reps=8, bursts=3,
+             burst_gap_s=60.0) -> float:
     """Per-iteration device seconds via two chain lengths, measured
     INTERLEAVED and differenced at their minima: the tunnel's per-call
     overhead swings by hundreds of ms between contention windows, and only

@@ -94,10 +94,22 @@ def _block_round_trip(
         out_frames = roundtrip_composed_matmul(
             frames, n, window_f64, per_bin, precision=prec
         )
-    elif on_matmul and tiled_supported(n) and spectral_fn is None:
-        # Packed no-complex path for the identity round-trip.
+    elif on_matmul and tiled_supported(n) and (
+        spectral_fn is None or hasattr(spectral_fn, "packed")
+    ):
+        # Packed no-complex path: identity, or a nonlinear per-bin fn that
+        # operates on packed Re/Im planes (no complex interleave).
         w32 = jnp.asarray(window_f64.astype(np.float32))
         re512, re_nyq, im_eff = rfft_folded_tiled_parts(frames, n, w32, prec)
+        if spectral_fn is not None:
+            h = n // 2
+            re = jnp.concatenate([re512, re_nyq], axis=-1)
+            zero = jnp.zeros_like(re_nyq)
+            im = jnp.concatenate([zero, im_eff, zero], axis=-1)
+            re, im = spectral_fn.packed(re, im)
+            re512 = re[..., :h]
+            re_nyq = re[..., h : h + 1]
+            im_eff = im[..., 1:h]
         out_frames = irfft_folded_tiled_parts(
             re512, re_nyq, im_eff, n, prec, None
         )

@@ -206,6 +206,46 @@ def round_trip(
             out_frames, norm, cfg.hop_size, full, cfg.eps
         )
         return out[..., pad : pad + signal.shape[-1]]
+    if (
+        spectral_fn is not None
+        and hasattr(spectral_fn, "packed")
+        and matmul_ok
+        and on_tpu
+        and tiled_supported(cfg.frame_size)
+    ):
+        # NONLINEAR per-bin fns (gate, spectral subtraction) that operate
+        # on packed Re/Im planes skip the complex64 interleave/deinterleave
+        # (two full passes over the spectrum each way on TPU).
+        from .fft.matmul_backend import (
+            irfft_folded_tiled_parts,
+            rfft_folded_tiled_parts,
+        )
+
+        frames = frame_signal(signal, cfg.frame_spec)
+        w64 = _window_f64(cfg)
+        prec = _fft.to_lax_precision(cfg.fft_precision)
+        h = cfg.frame_size // 2
+        re512, re_nyq, im_eff = rfft_folded_tiled_parts(
+            frames, cfg.frame_size, jnp.asarray(_window_np(cfg)), prec
+        )
+        re = jnp.concatenate([re512, re_nyq], axis=-1)
+        zero = jnp.zeros_like(re_nyq)
+        im = jnp.concatenate([zero, im_eff, zero], axis=-1)
+        re, im = spectral_fn.packed(re, im)
+        out_frames = irfft_folded_tiled_parts(
+            re[..., :h], re[..., h : h + 1], im[..., 1:h],
+            cfg.frame_size, prec,
+        )
+        if cfg.synthesis_window:
+            out_frames = out_frames * jnp.asarray(_window_np(cfg))
+        num_frames = frames.shape[-2]
+        pad = cfg.frame_spec.pad_amount
+        full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
+        norm = jnp.asarray(_norm_np(cfg, num_frames, full))
+        out = ola_normalized_auto(
+            out_frames, norm, cfg.hop_size, full, cfg.eps
+        )
+        return out[..., pad : pad + signal.shape[-1]]
     spec = stft(signal, cfg)
     if spectral_fn is not None:
         spec = spectral_fn(spec)

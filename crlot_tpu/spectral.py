@@ -22,6 +22,7 @@ def gain(g: float) -> Callable:
         return spec * jnp.asarray(g, dtype=spec.real.dtype)
 
     f.per_bin_gains = lambda nfft: np.full(nfft // 2 + 1, g, np.float64)
+    f.packed = lambda re, im: (re * jnp.float32(g), im * jnp.float32(g))
     return f
 
 
@@ -42,6 +43,14 @@ def per_bin_filter(h: jnp.ndarray) -> Callable:
         f.per_bin_response = lambda nfft: (
             hn.astype(np.complex128) if len(hn) == nfft // 2 + 1 else None
         )
+
+        hr = jnp.asarray(np.real(hn).astype(np.float32))
+        hi = jnp.asarray(np.imag(hn).astype(np.float32))
+
+        def packed(re, im):
+            return re * hr - im * hi, re * hi + im * hr
+
+        f.packed = packed
     return f
 
 
@@ -77,6 +86,12 @@ def noise_gate(threshold_db: float, attenuation_db: float = -60.0) -> Callable:
         p = jnp.square(jnp.abs(spec))
         return jnp.where(p >= thresh, spec, spec * att)
 
+    def packed(re, im):
+        p = re * re + im * im
+        s = jnp.where(p >= thresh, 1.0, att).astype(re.dtype)
+        return re * s, im * s
+
+    f.packed = packed
     return f
 
 
@@ -85,13 +100,19 @@ def spectral_subtraction(noise_mag: jnp.ndarray, alpha: float = 1.0,
     """Classic magnitude spectral subtraction with a spectral floor:
     |Y| = max(|X| - alpha*|N|, floor*|X|), phase preserved."""
 
-    def f(spec):
-        mag = jnp.abs(spec)
+    def _scale(mag):
         nm = jnp.asarray(noise_mag)[..., None, :]
         new_mag = jnp.maximum(mag - alpha * nm, floor * mag)
-        scale = jnp.where(mag > 0, new_mag / jnp.maximum(mag, 1e-20), 0.0)
-        return spec * scale
+        return jnp.where(mag > 0, new_mag / jnp.maximum(mag, 1e-20), 0.0)
 
+    def f(spec):
+        return spec * _scale(jnp.abs(spec))
+
+    def packed(re, im):
+        s = _scale(jnp.sqrt(re * re + im * im))
+        return re * s, im * s
+
+    f.packed = packed
     return f
 
 
@@ -112,6 +133,7 @@ def band_gain(edges_hz: Sequence[float], gains: Sequence[float],
         return spec * gj[..., None, :]
 
     f.per_bin_gains = lambda n: g if n == nfft else None
+    f.packed = lambda re, im: (re * gj, im * gj)
     return f
 
 
@@ -147,6 +169,14 @@ def compose(*fns: Callable) -> Callable:
 
     f.per_bin_gains = _gains
     f.per_bin_response = _response
+    if all(hasattr(fn, "packed") for fn in fns):
+
+        def _packed(re, im):
+            for fn in fns:
+                re, im = fn.packed(re, im)
+            return re, im
+
+        f.packed = _packed
     return f
 
 

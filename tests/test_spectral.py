@@ -306,3 +306,65 @@ def test_round_trip_complex_response_consistency():
     via_rt = np.asarray(round_trip(x, cfg, spectral_fn=fn))
     via_spec = np.asarray(istft(fn(stft(x, cfg)), cfg, length=6000))
     assert np.max(np.abs(via_rt - via_spec)) < 5e-5
+
+
+def test_packed_protocol_matches_complex():
+    """fn.packed(re, im) on split planes equals fn(re + i*im) for every op
+    that advertises the packed protocol (the TPU tiled path uses it to skip
+    complex64 interleave)."""
+    rng = np.random.default_rng(26)
+    K = 257
+    nm = rng.uniform(0, 0.2, K).astype(np.float32)
+    h = (rng.standard_normal(K) + 1j * rng.standard_normal(K)).astype(
+        np.complex64
+    )
+    fns = [
+        S.gain(0.3),
+        S.band_gain([4000.0], [1.0, 0.25], 48000, 512),
+        S.per_bin_filter(h),
+        S.noise_gate(-40.0, attenuation_db=-80.0),
+        S.spectral_subtraction(nm, alpha=1.2, floor=0.05),
+        S.compose(S.gain(2.0), S.noise_gate(-35.0)),
+    ]
+    re = rng.uniform(-1, 1, (3, 8, K)).astype(np.float32)
+    im = rng.uniform(-1, 1, (3, 8, K)).astype(np.float32)
+    spec = jnp.asarray(re) + 1j * jnp.asarray(im)
+    for fn in fns:
+        assert hasattr(fn, "packed"), fn
+        r2, i2 = fn.packed(jnp.asarray(re), jnp.asarray(im))
+        want = np.asarray(fn(spec))
+        np.testing.assert_allclose(np.asarray(r2), want.real, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(i2), want.imag, atol=2e-5)
+
+
+def test_packed_tiled_route_matches_complex_route():
+    """The full packed-plane round-trip formulation (tiled parts -> packed
+    fn -> tiled inverse) equals stft -> fn -> istft frames on CPU."""
+    from crlot_tpu.fft.matmul_backend import (
+        irfft_folded_tiled_parts,
+        rfft_folded_tiled_parts,
+    )
+    from crlot_tpu.window.windows import get_window
+    from crlot_tpu.core.types import WindowType
+
+    nfft = 512
+    hh = nfft // 2
+    rng = np.random.default_rng(27)
+    w = get_window(WindowType.HANN, nfft, True)
+    fn = S.noise_gate(-40.0)
+    fr = rng.uniform(-1, 1, (6, nfft)).astype(np.float32)
+    re512, re_nyq, im_eff = rfft_folded_tiled_parts(
+        jnp.asarray(fr), nfft, jnp.asarray(w)
+    )
+    re = jnp.concatenate([re512, re_nyq], axis=-1)
+    zero = jnp.zeros_like(re_nyq)
+    im = jnp.concatenate([zero, im_eff, zero], axis=-1)
+    re, im = fn.packed(re, im)
+    got = np.asarray(
+        irfft_folded_tiled_parts(
+            re[..., :hh], re[..., hh : hh + 1], im[..., 1:hh], nfft
+        )
+    )
+    spec = np.fft.rfft(fr.astype(np.float64) * w, axis=-1)
+    want = np.fft.irfft(np.asarray(fn(jnp.asarray(spec))), n=nfft, axis=-1)
+    np.testing.assert_allclose(got, want, atol=5e-5)
