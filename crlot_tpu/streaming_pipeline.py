@@ -58,19 +58,37 @@ def streaming_round_trip_blocks(
 
     from .ola.reference import overlap_add
 
+    from .core.types import FftBackend
+    from .fft.matmul_backend import roundtrip_folded_tiled, tiled_supported
+
+    on_packed = (
+        _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
+        and tiled_supported(n)
+    )
+
     def step(carry_tail, frames):
-        # frames: [block_frames, N]; window folds into the DFT basis on the
-        # matmul path (same code path as pipeline.stft for bit-consistency)
-        spec = _fft.rfft_windowed(
-            frames, n, window_f64, backend=cfg.fft_backend,
-            precision=_fft.to_lax_precision(cfg.fft_precision),
-        )
-        out_f = _fft.irfft(
-            spec, n, backend=cfg.fft_backend,
-            precision=_fft.to_lax_precision(cfg.fft_precision),
-        )
-        if cfg.synthesis_window:
-            out_f = out_f * window
+        # frames: [block_frames, N]; identity round-trip per block. On the
+        # matmul path this is the packed tiled formulation (no complex
+        # interleave — same lowering as pipeline.round_trip's TPU path, so
+        # chunked-stream output stays bit-identical to the offline one);
+        # other backends go through rfft/irfft.
+        if on_packed:
+            out_f = roundtrip_folded_tiled(
+                frames, n, window_f64,
+                window_f64 if cfg.synthesis_window else None,
+                precision=_fft.to_lax_precision(cfg.fft_precision),
+            )
+        else:
+            spec = _fft.rfft_windowed(
+                frames, n, window_f64, backend=cfg.fft_backend,
+                precision=_fft.to_lax_precision(cfg.fft_precision),
+            )
+            out_f = _fft.irfft(
+                spec, n, backend=cfg.fft_backend,
+                precision=_fft.to_lax_precision(cfg.fft_precision),
+            )
+            if cfg.synthesis_window:
+                out_f = out_f * window
         acc = overlap_add(
             out_f, hop, out_len=block_len + halo,
             init_head=carry_tail,

@@ -47,3 +47,27 @@ def test_streaming_center_rejected():
     cfg = StftConfig(frame_size=256, hop_size=64, center=True)
     with pytest.raises(ValueError):
         streaming_round_trip(_sig(10000), cfg)
+
+
+def test_streaming_matmul_backend_packed_path():
+    """Forcing the MATMUL backend exercises the packed tiled round-trip
+    inside the scan (the TPU lowering) on CPU; output must match the XLA
+    route within the matmul-DFT tolerance and keep block-size invariance."""
+    from crlot_tpu.core.types import FftBackend, FftPrecision
+
+    cfg = StftConfig(
+        frame_size=512, hop_size=128, center=False,
+        fft_backend=FftBackend.MATMUL, fft_precision=FftPrecision.HIGHEST,
+    )
+    cfg_xla = StftConfig(frame_size=512, hop_size=128, center=False)
+    x = _sig(128 * 128 + 512, seed=2)
+    a, v = streaming_round_trip(x, cfg, block_frames=16)
+    b, _ = streaming_round_trip(x, cfg_xla, block_frames=16)
+    m = min(len(a), len(b))
+    np.testing.assert_allclose(a[v:m], b[v:m], atol=1e-4)
+    c, _ = streaming_round_trip(x, cfg, block_frames=64)
+    m = min(len(a), len(c))
+    # CPU GEMM reduction order can vary with the batch (M) dimension, so
+    # block-size invariance is ULP-tight here, not bit-exact (the XLA-FFT
+    # route, transformed row-wise, stays bit-exact — tested above).
+    np.testing.assert_allclose(a[:m], c[:m], atol=2e-6)
