@@ -7,7 +7,11 @@ and performance_benchmark component timings) to locate the bottleneck.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# Persist compiles across retries on the flaky remote tunnel (bench.py policy).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from typing import Dict
+
+# Persist compiles across retries: the remote TPU tunnel is flaky and
+# recompiles are the expensive part of a retry (same policy as bench.py).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp
