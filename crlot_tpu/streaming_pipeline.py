@@ -26,11 +26,12 @@ from .ola.norm import build_norm_linear
 from .window.windows import get_window
 
 
-@partial(jax.jit, static_argnames=("cfg", "block_frames"))
+@partial(jax.jit, static_argnames=("cfg", "block_frames", "spectral_fn"))
 def streaming_round_trip_blocks(
     frame_blocks: jnp.ndarray,  # [num_blocks, block_frames, N] raw frames
     cfg: StftConfig,
     block_frames: int,
+    spectral_fn=None,
 ) -> jnp.ndarray:
     """Process framed blocks through window->rFFT->irFFT->OLA with a carried
     ring; returns [num_blocks * block_frames * hop] samples (steady-state
@@ -59,33 +60,71 @@ def streaming_round_trip_blocks(
     from .ola.reference import overlap_add
 
     from .core.types import FftBackend
-    from .fft.matmul_backend import roundtrip_folded_tiled, tiled_supported
-
-    on_packed = (
-        _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
-        and tiled_supported(n)
+    from .fft.matmul_backend import (
+        MAX_MATMUL_NFFT,
+        roundtrip_composed_matmul,
+        roundtrip_folded_tiled,
+        tiled_supported,
     )
+    from .spectral import resolve_per_bin_response
+
+    on_matmul = _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
+    per_bin = (
+        resolve_per_bin_response(spectral_fn, n)
+        if spectral_fn is not None and on_matmul and n <= MAX_MATMUL_NFFT
+        else None
+    )
+    on_packed = on_matmul and tiled_supported(n)
+    prec = _fft.to_lax_precision(cfg.fft_precision)
+    syn64 = window_f64 if cfg.synthesis_window else None
 
     def step(carry_tail, frames):
-        # frames: [block_frames, N]; identity round-trip per block. On the
-        # matmul path this is the packed tiled formulation (no complex
-        # interleave — same lowering as pipeline.round_trip's TPU path, so
-        # chunked-stream output stays bit-identical to the offline one);
-        # other backends go through rfft/irfft.
-        if on_packed:
-            out_f = roundtrip_folded_tiled(
-                frames, n, window_f64,
-                window_f64 if cfg.synthesis_window else None,
-                precision=_fft.to_lax_precision(cfg.fft_precision),
+        # frames: [block_frames, N]; round-trip per block. On the matmul
+        # path this is the packed tiled formulation — or, with a fixed
+        # per-bin response, ONE composed [N, N] matmul — with no complex
+        # interleave (same lowerings as pipeline.round_trip's TPU path,
+        # so chunked-stream output stays consistent with the offline one);
+        # other cases go through rfft -> spectral_fn -> irfft.
+        if per_bin is not None:
+            out_f = roundtrip_composed_matmul(
+                frames, n, window_f64, per_bin, syn64, precision=prec
             )
+        elif on_packed and (
+            spectral_fn is None or hasattr(spectral_fn, "packed")
+        ):
+            if spectral_fn is None:
+                out_f = roundtrip_folded_tiled(
+                    frames, n, window_f64, syn64, precision=prec
+                )
+            else:
+                from .fft.matmul_backend import (
+                    irfft_folded_tiled_parts,
+                    rfft_folded_tiled_parts,
+                )
+
+                h2 = n // 2
+                re512, re_nyq, im_eff = rfft_folded_tiled_parts(
+                    frames, n, window, prec
+                )
+                re = jnp.concatenate([re512, re_nyq], axis=-1)
+                zero = jnp.zeros_like(re_nyq)
+                im = jnp.concatenate([zero, im_eff, zero], axis=-1)
+                re, im = spectral_fn.packed(re, im)
+                out_f = irfft_folded_tiled_parts(
+                    re[..., :h2], re[..., h2 : h2 + 1], im[..., 1:h2],
+                    n, prec,
+                )
+                if cfg.synthesis_window:
+                    out_f = out_f * window
         else:
             spec = _fft.rfft_windowed(
                 frames, n, window_f64, backend=cfg.fft_backend,
-                precision=_fft.to_lax_precision(cfg.fft_precision),
+                precision=prec,
             )
+            if spectral_fn is not None:
+                spec = spectral_fn(spec)
             out_f = _fft.irfft(
-                spec, n, backend=cfg.fft_backend,
-                precision=_fft.to_lax_precision(cfg.fft_precision),
+                spec, n, backend=cfg.fft_backend, precision=prec
             )
             if cfg.synthesis_window:
                 out_f = out_f * window
@@ -106,12 +145,15 @@ def streaming_round_trip(
     signal: np.ndarray,
     cfg: StftConfig,
     block_frames: int = 64,
+    spectral_fn=None,
 ) -> Tuple[np.ndarray, int]:
     """Stream a long 1-D signal through the scan pipeline.
 
     Returns (output, valid_from): output[t] reconstructs signal[t] for
     t >= valid_from (the first `halo` samples lack full window coverage in
     steady-state normalization, like the reference's streaming OLA warm-up).
+    `spectral_fn` follows round_trip's contract (fixed per-bin responses
+    ride the composed one-matmul path; packed ops skip complex interleave).
     """
     if cfg.center:
         raise ValueError("streaming pipeline is uncentered (center=False)")
@@ -127,5 +169,7 @@ def streaming_round_trip(
     f = blocks * block_frames
     idx = np.arange(f)[:, None] * hop + np.arange(n)[None, :]
     frames = jnp.asarray(x[idx].reshape(blocks, block_frames, n))
-    out = np.asarray(streaming_round_trip_blocks(frames, cfg, block_frames))
+    out = np.asarray(
+        streaming_round_trip_blocks(frames, cfg, block_frames, spectral_fn)
+    )
     return out, n - hop

@@ -71,3 +71,33 @@ def test_streaming_matmul_backend_packed_path():
     # block-size invariance is ULP-tight here, not bit-exact (the XLA-FFT
     # route, transformed row-wise, stays bit-exact — tested above).
     np.testing.assert_allclose(a[:m], c[:m], atol=2e-6)
+
+
+def test_streaming_spectral_fn_matches_offline():
+    """Streaming with a spectral fn equals offline round_trip with the same
+    fn on the interior — across all three lowerings: composed (fixed EQ on
+    MATMUL), packed (noise gate on MATMUL), complex (XLA route)."""
+    import crlot_tpu.spectral as S
+    from crlot_tpu.core.types import FftBackend, FftPrecision
+
+    n, hop, bf = 512, 128, 16
+    x = _sig(hop * bf * 6 + n, seed=3)
+    cfg_mm = StftConfig(
+        frame_size=n, hop_size=hop, center=False,
+        fft_backend=FftBackend.MATMUL, fft_precision=FftPrecision.HIGHEST,
+    )
+    cfg_xla = StftConfig(frame_size=n, hop_size=hop, center=False)
+    eq = S.band_gain([4000.0, 12000.0], [1.0, 0.4, 0.1], 48000, n)
+    gate = S.noise_gate(-40.0)
+    for cfg, fn in [
+        (cfg_mm, eq),      # composed one-matmul path
+        (cfg_mm, gate),    # packed Re/Im path
+        (cfg_xla, eq),     # complex XLA route
+        (cfg_xla, lambda s: s * 0.5),  # plain fn, complex route
+    ]:
+        got, valid_from = streaming_round_trip(
+            x, cfg, block_frames=bf, spectral_fn=fn
+        )
+        want = np.asarray(round_trip(x, cfg, spectral_fn=fn))
+        lo, hi = max(valid_from, n), len(got) - n
+        assert snr_db(want[lo:hi], got[lo:hi]) > 90.0, (cfg.fft_backend, fn)
