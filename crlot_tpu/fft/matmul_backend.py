@@ -462,25 +462,20 @@ def _composed_roundtrip_basis(
     (exactly, in f64) and runs as ONE MXU matmul: the same N^2 MAC count
     as the four folded half-matmuls (4 x (N/2)^2), but zero spectrum
     intermediates in HBM, no fold/unfold elementwise passes, and a
-    single launch. B_f = exp(-i ang) [N, K]; B_i = hw exp(+i ang^T) / N
-    with hermitian weights hw — taking Re() discards Im at DC/Nyquist
-    exactly as irfft does. Only the identity case must NOT use this
-    (g = 1 collapses M to diag(w) — that would skip the DFT machinery
-    the round-trip exists to run)."""
+    single launch. Since irfft(rfft(y) * g) is CIRCULAR convolution with
+    h = irfft(g), the matrix is the windowed circulant
+    M[i, j] = w[i] * h[(j - i) mod N] — built by indexing, not a host
+    matmul (8.3 s -> 0.26 s at N=4096, identical to 6e-11); irfft's
+    DC/Nyquist-imag projection rides along for free. Only the identity
+    case must NOT use this (g = 1 collapses M to diag(w) — that would
+    skip the DFT machinery the round-trip exists to run)."""
     kk = nfft // 2 + 1
     w = np.frombuffer(awin_bytes, dtype=np.float64)
     g = np.frombuffer(response_bytes, dtype=np.complex128)
     assert len(w) == nfft and len(g) == kk
-    k = np.arange(kk, dtype=np.float64)
-    n = np.arange(nfft, dtype=np.float64)
-    ang = 2.0 * np.pi * np.outer(n, k) / nfft
-    bf = np.exp(-1j * ang)  # [N, K]
-    hw = np.full(kk, 2.0)
-    hw[0] = 1.0
-    if nfft % 2 == 0:
-        hw[-1] = 1.0
-    bi = (hw * g)[:, None] * np.exp(1j * ang.T) / nfft  # [K, N]
-    m = w[:, None] * np.real(bf @ bi)
+    h = np.fft.irfft(g, n=nfft)
+    idx = (np.arange(nfft)[None, :] - np.arange(nfft)[:, None]) % nfft
+    m = w[:, None] * h[idx]
     if swin_bytes is not None:
         ws = np.frombuffer(swin_bytes, dtype=np.float64)
         m = m * ws[None, :]
