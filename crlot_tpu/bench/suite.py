@@ -116,9 +116,11 @@ def bench_spectral(results: Dict[str, float]) -> None:
 
 def bench_multichannel(results: Dict[str, float]) -> None:
     """BASELINE config 4: 64-channel batch, per-channel STFT/OLA round-trip
-    (sharded across chips when more than one device is present)."""
+    + FIR filtering (sharded across chips when more than one device is
+    present)."""
     from ..core.types import StftConfig
     from ..pipeline import round_trip
+    from ..spectral import fir_frequency_response, per_bin_filter
 
     cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
     rng = np.random.default_rng(4)
@@ -127,6 +129,12 @@ def bench_multichannel(results: Dict[str, float]) -> None:
     total = 64 * 48000
     results["mc64_1s48k_ms"] = round(sec * 1e3, 3)
     results["mc64_msamples_per_s"] = round(total / sec / 1e6, 1)
+    taps = np.hamming(127)
+    taps = taps / taps.sum()
+    fir = per_bin_filter(fir_frequency_response(taps, 1024))
+    sec = _time(lambda s: round_trip(s, cfg, spectral_fn=fir), x)
+    results["mc64_fir_1s48k_ms"] = round(sec * 1e3, 3)
+    results["mc64_fir_msamples_per_s"] = round(total / sec / 1e6, 1)
 
 
 def bench_sweep(results: Dict[str, float]) -> None:
@@ -135,6 +143,8 @@ def bench_sweep(results: Dict[str, float]) -> None:
     from ..core.types import StftConfig
     from ..metrics import snr_db
     from ..pipeline import round_trip
+
+    from ..core.types import WindowType
 
     sr = 48000
     rng = np.random.default_rng(5)
@@ -148,6 +158,19 @@ def bench_sweep(results: Dict[str, float]) -> None:
             key = f"sweep_n{n}_r{ratio}"
             results[f"{key}_gsamples_per_s"] = round(len(x) / sec / 1e9, 3)
             results[f"{key}_snr_db"] = round(snr, 1)
+    # BASELINE config 2 names Hann AND Hamming COLA: one Hamming point.
+    cfg = StftConfig(
+        frame_size=1024, hop_size=256, center=True,
+        window=WindowType.HAMMING,
+    )
+    y = jax.jit(lambda s: round_trip(s, cfg))(x)
+    results["sweep_n1024_r4_hamming_snr_db"] = round(
+        snr_db(np.asarray(x), np.asarray(y)), 1
+    )
+    sec = _time(lambda s: round_trip(s, cfg), x)
+    results["sweep_n1024_r4_hamming_gsamples_per_s"] = round(
+        len(x) / sec / 1e9, 3
+    )
 
 
 def bench_resample(results: Dict[str, float]) -> None:
