@@ -113,6 +113,16 @@ def round_trip(
     signal = jnp.asarray(signal)
     on_tpu = jax.default_backend() == "tpu"
     matmul_ok = cfg.fft_backend in (FftBackend.AUTO, FftBackend.MATMUL)
+
+    def ola_tail(out_frames, num_frames):
+        """Shared overlap-add + COLA-normalize + center-crop epilogue."""
+        pad = cfg.frame_spec.pad_amount
+        full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
+        norm = jnp.asarray(_norm_np(cfg, num_frames, full))
+        out = ola_normalized_auto(
+            out_frames, norm, cfg.hop_size, full, cfg.eps
+        )
+        return out[..., pad : pad + signal.shape[-1]]
     if (
         spectral_fn is None
         and cfg.fused_roundtrip
@@ -136,13 +146,7 @@ def round_trip(
             )
             if cfg.synthesis_window:
                 out_frames = out_frames * jnp.asarray(_window_np(cfg))
-            pad = spec.pad_amount
-            full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
-            norm = jnp.asarray(_norm_np(cfg, num_frames, full))
-            out = ola_normalized_auto(
-                out_frames, norm, cfg.hop_size, full, cfg.eps
-            )
-            return out[..., pad : pad + signal.shape[-1]]
+            return ola_tail(out_frames, num_frames)
     from .spectral import resolve_per_bin_response
 
     # A fixed per-bin spectral fn (EQ / FIR response / fractional delay /
@@ -198,14 +202,7 @@ def round_trip(
                 w64 if cfg.synthesis_window else None,
                 precision=_fft.to_lax_precision(cfg.fft_precision),
             )
-        num_frames = frames.shape[-2]
-        pad = cfg.frame_spec.pad_amount
-        full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
-        norm = jnp.asarray(_norm_np(cfg, num_frames, full))
-        out = ola_normalized_auto(
-            out_frames, norm, cfg.hop_size, full, cfg.eps
-        )
-        return out[..., pad : pad + signal.shape[-1]]
+        return ola_tail(out_frames, frames.shape[-2])
     if (
         spectral_fn is not None
         and hasattr(spectral_fn, "packed")
@@ -238,14 +235,7 @@ def round_trip(
         )
         if cfg.synthesis_window:
             out_frames = out_frames * jnp.asarray(_window_np(cfg))
-        num_frames = frames.shape[-2]
-        pad = cfg.frame_spec.pad_amount
-        full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
-        norm = jnp.asarray(_norm_np(cfg, num_frames, full))
-        out = ola_normalized_auto(
-            out_frames, norm, cfg.hop_size, full, cfg.eps
-        )
-        return out[..., pad : pad + signal.shape[-1]]
+        return ola_tail(out_frames, frames.shape[-2])
     spec = stft(signal, cfg)
     if spectral_fn is not None:
         spec = spectral_fn(spec)
