@@ -40,4 +40,5 @@ echo "== regression guard =="
 python -m crlot_tpu.bench.regression --current "$OUT/suite.json" | tee "$OUT/regression.json"
 
 echo "== headline bench =="
-retry 300 3 python bench.py | tee "$OUT/bench.json"
+# 3 measurement bursts with 60 s gaps need ~4-5 min plus compile headroom
+retry 480 3 python bench.py | tee "$OUT/bench.json"

@@ -105,6 +105,49 @@ def main() -> int:
     eq_err = float(np.max(np.abs(y_fast - y_cplx)))
     check("spectral_eq_folded_fastpath", eq_err < 5e-4, f"max_err={eq_err:.2e}")
 
+    # 3c. Packed nonlinear fn (noise gate on split Re/Im planes) must match
+    #     the complex route exactly (measured bit-identical on device).
+    gate = spc.noise_gate(-45.0, attenuation_db=-80.0)
+    y_packed = np.asarray(
+        jax.jit(lambda s: ct.round_trip(s, cfg, spectral_fn=gate))(
+            jnp.asarray(x1)
+        )
+    )
+    y_gc = np.asarray(
+        jax.jit(
+            lambda s: ct.round_trip(
+                s, cfg, spectral_fn=lambda sp: gate(sp)
+            )
+        )(jnp.asarray(x1))
+    )
+    pk_err = float(np.max(np.abs(y_packed - y_gc)))
+    check("spectral_packed_gate", pk_err < 5e-4, f"max_err={pk_err:.2e}")
+
+    # 3d. Complex response (pure delay) through the composed one-matmul
+    #     path: output must be the delayed input.
+    k = np.arange(513)
+    delay = spc.per_bin_filter(np.exp(-2j * np.pi * k * 8 / 1024))
+    y_d = np.asarray(
+        jax.jit(lambda s: ct.round_trip(s, cfg, spectral_fn=delay))(
+            jnp.asarray(x1)
+        )
+    )
+    body = slice(2048, len(x1) - 2048)
+    snr_d = float(ct.snr_db(np.roll(x1, 8)[body], y_d[body]))
+    check("spectral_complex_delay_composed", snr_d > 60.0,
+          f"snr={snr_d:.1f}dB")
+
+    # 3e. INT8X2 tier (double-rate MXU path, opt-in) still clears the gate.
+    cfg_i8 = ct.StftConfig(
+        frame_size=1024, hop_size=256, center=True,
+        fft_precision=ct.FftPrecision.INT8X2,
+    )
+    y_i8 = np.asarray(
+        jax.jit(lambda s: ct.round_trip(s, cfg_i8))(jnp.asarray(x1))
+    )
+    snr_i8 = float(ct.snr_db(x1, y_i8))
+    check("int8x2_tier_roundtrip", snr_i8 > 60.0, f"snr={snr_i8:.1f}dB")
+
     # 4. Plan API (scrub path) + CT backend (large pow2).
     plan = ct.make_fft_plan(
         ct.FftPlanDesc(domain=ct.FftDomain.REAL, nfft=1024, batch=4)
