@@ -69,3 +69,37 @@ def test_random_config_stft_istft_consistency(seed):
     via_spec = np.asarray(istft(stft(jnp.asarray(x), cfg), cfg, length=length))
     direct = np.asarray(round_trip(jnp.asarray(x), cfg))
     assert np.max(np.abs(via_spec - direct)) < 5e-4, cfg
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_composed_response(seed):
+    """Composed one-matmul round-trip vs the f64 rfft*g -> irfft oracle for
+    random sizes (odd, non-pow2 included), windows, and responses (real
+    gains or complex curves with phase)."""
+    from crlot_tpu.fft.matmul_backend import roundtrip_composed_matmul
+    from crlot_tpu.window.windows import get_window
+
+    rng = np.random.default_rng(2000 + seed)
+    n = int(rng.choice([256, 320, 500, 999, 1024, 2048, 4096]))
+    kk = n // 2 + 1
+    w = get_window(
+        WINDOWS[int(rng.integers(len(WINDOWS)))], n,
+        bool(rng.integers(2)), dtype=np.float64,
+    )
+    mag = 10.0 ** rng.uniform(-1, 1, kk)
+    if rng.integers(2):
+        g = mag.astype(np.complex128)
+    else:
+        g = mag * np.exp(1j * rng.uniform(-np.pi, np.pi, kk))
+    syn = w if rng.integers(2) else None
+    fr = rng.uniform(-1, 1, (3, n)).astype(np.float32)
+    got = np.asarray(
+        roundtrip_composed_matmul(jnp.asarray(fr), n, w, g, syn)
+    )
+    spec = np.fft.rfft(fr.astype(np.float64) * w, axis=-1) * g
+    want = np.fft.irfft(spec, n=n, axis=-1)
+    if syn is not None:
+        want = want * w
+    err = want - got
+    snr = 10 * np.log10(np.sum(want**2) / max(np.sum(err**2), 1e-300))
+    assert snr > 90, (n, snr)
