@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 from typing import Dict, Tuple
@@ -44,6 +45,14 @@ def compare(
             continue
         cur = current[name]
         if not isinstance(base, (int, float)) or base <= 0:
+            continue
+        if not isinstance(cur, (int, float)) or not math.isfinite(cur):
+            # stages._time reports NaN when the tunnel was too contended to
+            # measure; an unmeasurable run is not a regression verdict.
+            report.append(
+                {"metric": name, "baseline": base, "current": cur,
+                 "passed": None, "note": "unmeasurable (NaN) — skipped"}
+            )
             continue
         band = band_for(name)
         ratio = cur / base

@@ -99,17 +99,18 @@ def _block_round_trip(
     ):
         # Packed no-complex path: identity, or a nonlinear per-bin fn that
         # operates on packed Re/Im planes (no complex interleave).
+        from ..fft.matmul_backend import (
+            packed_to_tiled_parts,
+            tiled_parts_to_packed,
+        )
+
         w32 = jnp.asarray(window_f64.astype(np.float32))
         re512, re_nyq, im_eff = rfft_folded_tiled_parts(frames, n, w32, prec)
         if spectral_fn is not None:
-            h = n // 2
-            re = jnp.concatenate([re512, re_nyq], axis=-1)
-            zero = jnp.zeros_like(re_nyq)
-            im = jnp.concatenate([zero, im_eff, zero], axis=-1)
-            re, im = spectral_fn.packed(re, im)
-            re512 = re[..., :h]
-            re_nyq = re[..., h : h + 1]
-            im_eff = im[..., 1:h]
+            re, im = spectral_fn.packed(*tiled_parts_to_packed(
+                re512, re_nyq, im_eff
+            ))
+            re512, re_nyq, im_eff = packed_to_tiled_parts(re, im, n)
         out_frames = irfft_folded_tiled_parts(
             re512, re_nyq, im_eff, n, prec, None
         )

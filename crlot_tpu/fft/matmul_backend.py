@@ -366,6 +366,23 @@ def roundtrip_folded_tiled(
     return out
 
 
+def tiled_parts_to_packed(re512, re_nyq, im_eff):
+    """Tiled-layout spectrum -> full packed planes (Re [..., K], Im [..., K])
+    with the structurally-zero Im[0] / Im[Nyquist] filled in. Used to hand a
+    `.packed(re, im)` spectral fn the spectrum without complex interleave."""
+    re = jnp.concatenate([re512, re_nyq], axis=-1)
+    zero = jnp.zeros_like(re_nyq)
+    im = jnp.concatenate([zero, im_eff, zero], axis=-1)
+    return re, im
+
+
+def packed_to_tiled_parts(re, im, nfft: int):
+    """Inverse of tiled_parts_to_packed (drops Im[0] / Im[Nyquist], which the
+    tiled inverse ignores — the same projection irfft applies)."""
+    h = nfft // 2
+    return re[..., :h], re[..., h : h + 1], im[..., 1:h]
+
+
 def _tiled_to_complex(re512, re_nyq, im_eff) -> jnp.ndarray:
     re = jnp.concatenate([re512, re_nyq], axis=-1)
     zero = jnp.zeros_like(re_nyq)

@@ -215,22 +215,22 @@ def round_trip(
         # (two full passes over the spectrum each way on TPU).
         from .fft.matmul_backend import (
             irfft_folded_tiled_parts,
+            packed_to_tiled_parts,
             rfft_folded_tiled_parts,
+            tiled_parts_to_packed,
         )
 
         frames = frame_signal(signal, cfg.frame_spec)
         w64 = _window_f64(cfg)
         prec = _fft.to_lax_precision(cfg.fft_precision)
-        h = cfg.frame_size // 2
         re512, re_nyq, im_eff = rfft_folded_tiled_parts(
             frames, cfg.frame_size, jnp.asarray(_window_np(cfg)), prec
         )
-        re = jnp.concatenate([re512, re_nyq], axis=-1)
-        zero = jnp.zeros_like(re_nyq)
-        im = jnp.concatenate([zero, im_eff, zero], axis=-1)
-        re, im = spectral_fn.packed(re, im)
+        re, im = spectral_fn.packed(*tiled_parts_to_packed(
+            re512, re_nyq, im_eff
+        ))
         out_frames = irfft_folded_tiled_parts(
-            re[..., :h], re[..., h : h + 1], im[..., 1:h],
+            *packed_to_tiled_parts(re, im, cfg.frame_size),
             cfg.frame_size, prec,
         )
         if cfg.synthesis_window:

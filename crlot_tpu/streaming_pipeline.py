@@ -99,20 +99,19 @@ def streaming_round_trip_blocks(
             else:
                 from .fft.matmul_backend import (
                     irfft_folded_tiled_parts,
+                    packed_to_tiled_parts,
                     rfft_folded_tiled_parts,
+                    tiled_parts_to_packed,
                 )
 
-                h2 = n // 2
                 re512, re_nyq, im_eff = rfft_folded_tiled_parts(
                     frames, n, window, prec
                 )
-                re = jnp.concatenate([re512, re_nyq], axis=-1)
-                zero = jnp.zeros_like(re_nyq)
-                im = jnp.concatenate([zero, im_eff, zero], axis=-1)
-                re, im = spectral_fn.packed(re, im)
+                re, im = spectral_fn.packed(*tiled_parts_to_packed(
+                    re512, re_nyq, im_eff
+                ))
                 out_f = irfft_folded_tiled_parts(
-                    re[..., :h2], re[..., h2 : h2 + 1], im[..., 1:h2],
-                    n, prec,
+                    *packed_to_tiled_parts(re, im, n), n, prec
                 )
                 if cfg.synthesis_window:
                     out_f = out_f * window
