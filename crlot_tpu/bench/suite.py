@@ -148,8 +148,11 @@ def bench_sweep(results: Dict[str, float]) -> None:
 
     sr = 48000
     rng = np.random.default_rng(5)
-    x = rng.uniform(-0.9, 0.9, 4 * sr).astype(np.float32)
     for n in (256, 1024, 4096, 16384):
+        # Signal length scales with N: a fixed 4 s gives only ~11 frames at
+        # N=16384 hop=N/4 — pure measurement noise on the tunnel.
+        seconds = 4 if n <= 1024 else 16
+        x = rng.uniform(-0.9, 0.9, seconds * sr).astype(np.float32)
         for ratio in (2, 4):
             cfg = StftConfig(frame_size=n, hop_size=n // ratio, center=True)
             y = jax.jit(lambda s, c=cfg: round_trip(s, c))(x)
@@ -158,6 +161,7 @@ def bench_sweep(results: Dict[str, float]) -> None:
             key = f"sweep_n{n}_r{ratio}"
             results[f"{key}_gsamples_per_s"] = round(len(x) / sec / 1e9, 3)
             results[f"{key}_snr_db"] = round(snr, 1)
+    x = rng.uniform(-0.9, 0.9, 4 * sr).astype(np.float32)
     # BASELINE config 2 names Hann AND Hamming COLA: one Hamming point.
     cfg = StftConfig(
         frame_size=1024, hop_size=256, center=True,
