@@ -192,3 +192,45 @@ def test_sharded_packed_spectral_fastpath():
     a, b = y4[0][interior], want[:frames_cover][interior]
     m = min(len(a), len(b))
     np.testing.assert_allclose(a[:m], b[:m], rtol=2e-4, atol=1e-4)
+
+
+def test_sharded_packed_nonlinear_fn():
+    """A NONLINEAR per-bin fn with a .packed form (noise gate) takes the
+    packed Re/Im branch in the sharded pipeline under forced MATMUL; output
+    must match the unsharded complex route and be mesh-size consistent."""
+    import jax.numpy as jnp
+
+    import crlot_tpu.spectral as sp
+    from crlot_tpu.core.types import FftBackend, StftConfig
+    from crlot_tpu.distributed.mesh import make_mesh
+    from crlot_tpu.distributed.sharded_pipeline import sharded_round_trip
+    from crlot_tpu.pipeline import istft, stft
+
+    cfg = StftConfig(
+        frame_size=512, hop_size=128, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    rng = np.random.default_rng(22)
+    total = 4 * 4096
+    x = rng.uniform(-0.9, 0.9, (1, total)).astype(np.float32)
+    gate = sp.noise_gate(-40.0, attenuation_db=-80.0)
+    assert hasattr(gate, "packed")
+
+    y4 = np.asarray(
+        sharded_round_trip(jnp.asarray(x), cfg, make_mesh(time=4),
+                           spectral_fn=gate)
+    )
+    y1 = np.asarray(
+        sharded_round_trip(jnp.asarray(x), cfg, make_mesh(time=1),
+                           spectral_fn=gate)
+    )
+    interior = slice(512, -512)
+    np.testing.assert_allclose(y4[0][interior], y1[0][interior], rtol=2e-4,
+                               atol=1e-4)
+
+    want = np.asarray(istft(gate(stft(jnp.asarray(x[0]), cfg)), cfg,
+                            length=total))
+    frames_cover = ((total - 512) // 128) * 128 + 512
+    a, b = y4[0][interior], want[:frames_cover][interior]
+    m = min(len(a), len(b))
+    np.testing.assert_allclose(a[:m], b[:m], rtol=2e-4, atol=1e-4)
