@@ -151,6 +151,7 @@ def environment_info() -> dict:
 if __name__ == "__main__":
     info = environment_info()
     info["roofline_n1024_h256"] = {
-        k: round(v, 2) for k, v in roofline_samples_per_sec(1024, 256).items()
+        k: round(v, 2) if isinstance(v, (int, float)) else v
+        for k, v in roofline_samples_per_sec(1024, 256).items()
     }
     print(json.dumps(info, indent=1))
