@@ -37,7 +37,14 @@ echo "== bench suite =="
 retry 600 3 python -m crlot_tpu.bench.suite --out "$OUT/suite.json"
 
 echo "== regression guard =="
-python -m crlot_tpu.bench.regression --current "$OUT/suite.json" | tee "$OUT/regression.json"
+# Non-fatal: the verdict lives in regression.json (exit code recorded); a
+# band violation must not abort the remaining bench steps.
+if python -m crlot_tpu.bench.regression --current "$OUT/suite.json" \
+    | tee "$OUT/regression.json"; then
+  echo "regression guard: PASS"
+else
+  echo "regression guard: FAIL (see $OUT/regression.json)" >&2
+fi
 
 echo "== headline bench =="
 # 3 measurement bursts with 60 s gaps need ~4-5 min plus compile headroom
