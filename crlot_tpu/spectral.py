@@ -5,6 +5,15 @@ The reference's e2e pipeline has an identity processing hook
 the batteries the TPU build ships for that hook: pure functions
 `spec [..., F, K] -> spec` composable into `round_trip(spectral_fn=...)`.
 All are elementwise/banded and fuse into the surrounding FFT matmuls.
+
+Fast-path protocols (all optional attributes on a spectral fn, honored by
+the single-device, streaming, and sharded pipelines):
+- `per_bin_gains(nfft) -> f64 [K] | None`: fixed REAL per-bin gains;
+- `per_bin_response(nfft) -> complex [K] | None`: any fixed per-bin curve —
+  composes with the DFT bases into ONE [N, N] round-trip matmul
+  (fft.matmul_backend.roundtrip_composed_matmul);
+- `packed(re, im) -> (re, im)`: the op on split Re/Im planes, letting the
+  tiled matmul path skip complex64 interleave for NONLINEAR ops.
 """
 
 from __future__ import annotations
