@@ -208,6 +208,35 @@ def irfft_folded_tiled_parts_i8(
     )
 
 
+def roundtrip_composed_i8(
+    frames: jnp.ndarray,
+    nfft: int,
+    analysis_window_f64: np.ndarray,
+    per_bin_response: np.ndarray,
+    synthesis_window_f64=None,
+) -> jnp.ndarray:
+    """The composed one-matmul response round-trip on the int8 MXU path:
+    the windowed-circulant matrix (matmul_backend._composed_roundtrip_basis)
+    is pre-quantized per-column and the single dot runs as three int8 limb
+    products. SNR caveat: for MILD responses the circulant is near-diagonal,
+    so per-column quantization noise grows ~sqrt(K) relative to the signal
+    (unlike the flat DFT bases) — measured ~65 dB for a +-10 dB EQ at
+    N=1024, degrading toward the 60 dB gate as the response flattens toward
+    identity; the f32 composed path (roundtrip_composed_matmul) has no such
+    penalty."""
+    from .matmul_backend import _composed_roundtrip_basis
+
+    m = _composed_roundtrip_basis(
+        nfft,
+        np.ascontiguousarray(analysis_window_f64, np.float64).tobytes(),
+        None
+        if synthesis_window_f64 is None
+        else np.ascontiguousarray(synthesis_window_f64, np.float64).tobytes(),
+        np.ascontiguousarray(per_bin_response, np.complex128).tobytes(),
+    )
+    return dot_i8x2(frames, quantize_basis(m, f"composed:{nfft}"))
+
+
 def roundtrip_folded_tiled_i8(
     frames: jnp.ndarray,
     nfft: int,

@@ -168,6 +168,10 @@ def round_trip(
         frames = frame_signal(signal, cfg.frame_spec)
         w64 = _window_f64(cfg)
         if per_bin is not None:
+            # Always the f32 composed path, regardless of tier: the int8
+            # variant (int8_backend.roundtrip_composed_i8) loses SNR on
+            # near-diagonal circulants and could dip below the 60 dB bar
+            # for near-identity responses — it stays an explicit call.
             from .fft.matmul_backend import roundtrip_composed_matmul
 
             out_frames = roundtrip_composed_matmul(
