@@ -58,12 +58,13 @@ def _time(fn, x, reps=8, k_small=2, k_big=12):
     t_small, t_big = [], []
     # Heavy contention can make min(t_big) < min(t_small) (the minima land
     # in different tunnel windows); clamping that to epsilon would FABRICATE
-    # absurd throughput, so instead keep sampling (up to 3 extra rounds,
-    # separated to escape the bad window) and give up with NaN if the
-    # difference never turns positive — an honest "unmeasurable this run".
-    for attempt in range(4):
+    # absurd throughput, so instead take ONE extra sampling round and give
+    # up with NaN if the difference never turns positive — an honest
+    # "unmeasurable this run". (One round only: suites time dozens of
+    # metrics, and a per-metric retry budget multiplies across all of them.)
+    for attempt in range(2):
         if attempt:
-            time.sleep(20.0)
+            time.sleep(10.0)
         for _ in range(reps):
             for f, acc in ((f_small, t_small), (f_big, t_big)):
                 t0 = time.perf_counter()

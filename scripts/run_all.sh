@@ -34,16 +34,20 @@ echo "== tpu smoke gate =="
 retry 600 3 python scripts/tpu_smoke.py 2>&1 | tee "$OUT/tpu_smoke.txt"
 
 echo "== bench suite =="
-retry 600 3 python -m crlot_tpu.bench.suite --out "$OUT/suite.json"
+# Non-fatal: a contended tunnel can make the suite unmeasurable; the
+# remaining steps (especially the headline bench) must still run.
+if ! retry 900 3 python -m crlot_tpu.bench.suite --out "$OUT/suite.json"; then
+  echo "bench suite: FAILED (tunnel); continuing" >&2
+fi
 
 echo "== regression guard =="
 # Non-fatal: the verdict lives in regression.json (exit code recorded); a
 # band violation must not abort the remaining bench steps.
-if python -m crlot_tpu.bench.regression --current "$OUT/suite.json" \
-    | tee "$OUT/regression.json"; then
+if [ -f "$OUT/suite.json" ] && python -m crlot_tpu.bench.regression \
+    --current "$OUT/suite.json" | tee "$OUT/regression.json"; then
   echo "regression guard: PASS"
 else
-  echo "regression guard: FAIL (see $OUT/regression.json)" >&2
+  echo "regression guard: FAIL or no suite data (see $OUT)" >&2
 fi
 
 echo "== headline bench =="
