@@ -50,14 +50,18 @@ def io_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec(CHANNEL_AXIS, TIME_AXIS))
 
 
-def auto_mesh(n_devices: Optional[int] = None) -> Mesh:
+def auto_mesh(
+    n_devices: Optional[int] = None, channels: Optional[int] = None
+) -> Mesh:
     """Factor n devices into a near-square (channel, time) mesh, favoring a
     longer time axis (halos are cheap nearest-neighbor traffic; channel
-    sharding needs the channel count to cooperate)."""
+    sharding needs the channel count to cooperate). Pass `channels` (the
+    data's channel count) so the channel axis divides it — mono input gets
+    a pure time mesh instead of an unusable channel split."""
     n = n_devices if n_devices is not None else len(jax.devices())
     channel = 1
     for c in range(int(n**0.5), 0, -1):
-        if n % c == 0:
+        if n % c == 0 and (channels is None or channels % c == 0):
             channel = c
             break
     return make_mesh(channel=channel, time=n // channel)

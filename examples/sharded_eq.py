@@ -35,7 +35,7 @@ def main() -> None:
     eq = ct.spectral.band_gain(
         [200.0, 2000.0, 8000.0], [1.2, 1.0, 0.8, 0.5], sr, 1024
     )
-    mesh = auto_mesh()
+    mesh = auto_mesh(channels=x.shape[0])
     y = sharded_stream(x, cfg, mesh, chunk_samples=1 << 20, spectral_fn=eq)
     ct.write_wav(args.outfile, y, sr, bits=16)
     print(f"processed {x.shape} over mesh {dict(mesh.shape)}")

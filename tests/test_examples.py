@@ -1,0 +1,75 @@
+"""Every example must run as documented: `python examples/<name>.py ...`
+as a plain subprocess (no install, no PYTHONPATH) on a small WAV.
+
+This is the regression test for the class of bug where examples import
+the package but the repo root is not on sys.path.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def small_wav(tmp_path_factory):
+    import crlot_tpu as ct
+
+    path = str(tmp_path_factory.mktemp("ex") / "in.wav")
+    rng = np.random.default_rng(0)
+    t = np.arange(24000) / 48000.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.05 * rng.standard_normal(24000)).astype(np.float32)
+    ct.write_wav(path, x, 48000, bits=16)
+    return path
+
+
+def _run(script, *args, cwd="/tmp"):
+    # The machine's sitecustomize pins jax to the TPU backend at interpreter
+    # start; a JAX_PLATFORMS env var alone cannot undo that, so the wrapper
+    # re-pins CPU via jax.config before handing off to the example script.
+    path = os.path.join(REPO, "examples", script)
+    wrapper = (
+        "import jax, runpy, sys; "
+        "jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv = [{path!r}] + sys.argv[1:]; "
+        f"runpy.run_path({path!r}, run_name='__main__')"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", wrapper, *args],
+        capture_output=True, text=True, timeout=600, cwd=cwd,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+
+
+def test_denoise_example(small_wav, tmp_path):
+    out = str(tmp_path / "out.wav")
+    r = _run("denoise.py", small_wav, out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(out) > 1000
+
+
+def test_fir_filter_example(small_wav, tmp_path):
+    out = str(tmp_path / "out.wav")
+    r = _run("fir_filter.py", small_wav, out, "--cutoff-hz", "2000")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(out) > 1000
+
+
+def test_sharded_eq_example(small_wav, tmp_path):
+    out = str(tmp_path / "out.wav")
+    r = _run("sharded_eq.py", small_wav, out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(out) > 1000
+
+
+def test_streaming_checkpoint_example(small_wav, tmp_path):
+    out = str(tmp_path / "out.npy")
+    ckpt = str(tmp_path / "stream.ckpt.npz")
+    r = _run("streaming_checkpoint.py", small_wav, out, "--ckpt", ckpt)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
