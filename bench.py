@@ -103,12 +103,28 @@ def main() -> None:
     snr = snr_db(np.asarray(x), np.asarray(y))
     assert snr > 60.0, f"round-trip SNR {snr:.1f} dB < 60 dB gate"
 
-    per_iter = _measure(fn_one, x, k_small=8, k_big=40, reps=10)
-    samples_per_sec = total / per_iter
-
     from crlot_tpu.profiling import roofline_samples_per_sec
 
     roof = roofline_samples_per_sec(cfg.frame_size, cfg.hop_size)
+    # Physical plausibility cap: chain-minima differencing can UNDERestimate
+    # when the two lengths' minima land in different tunnel windows,
+    # fabricating faster-than-hardware numbers (docs/DESIGN.md records a
+    # 0.195 ms outlier = ~1.9x the compute bound). Anything meaningfully
+    # above every roofline bound is a measurement artifact — remeasure.
+    cap = 1.35 * max(
+        roof["bandwidth_bound_samples_per_sec"],
+        roof["compute_bound_samples_per_sec"],
+    )
+    for _ in range(3):
+        per_iter = _measure(fn_one, x, k_small=8, k_big=40, reps=10)
+        samples_per_sec = total / per_iter
+        if samples_per_sec <= cap:
+            break
+    else:
+        raise RuntimeError(
+            f"measured {samples_per_sec:.3g} samples/s exceeds 1.35x the "
+            f"roofline ({cap:.3g}) in 3 attempts — tunnel artifact; rerun"
+        )
 
     print(
         json.dumps(
