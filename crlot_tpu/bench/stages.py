@@ -58,11 +58,12 @@ def _time(fn, x, reps=8, k_small=2, k_big=12):
     t_small, t_big = [], []
     # Heavy contention can make min(t_big) < min(t_small) (the minima land
     # in different tunnel windows); clamping that to epsilon would FABRICATE
-    # absurd throughput, so instead take ONE extra sampling round and give
-    # up with NaN if the difference never turns positive — an honest
-    # "unmeasurable this run". (One round only: suites time dozens of
-    # metrics, and a per-metric retry budget multiplies across all of them.)
-    for attempt in range(2):
+    # absurd throughput, so give up with NaN — an honest "unmeasurable this
+    # run". Extra sampling rounds are opt-in (CRLOT_BENCH_RETRIES=n):
+    # suites time dozens of metrics and a default per-metric retry budget
+    # multiplies across all of them, blowing the orchestration timeout.
+    extra = int(os.environ.get("CRLOT_BENCH_RETRIES", "0"))
+    for attempt in range(1 + max(extra, 0)):
         if attempt:
             time.sleep(10.0)
         for _ in range(reps):
