@@ -46,14 +46,15 @@ def _timed_chain(fn_one, x, k: int):
 
 
 def _measure(fn_one, x, k_small=2, k_big=12, reps=8, bursts=3,
-             burst_gap_s=60.0) -> float:
+             burst_gap_s=120.0) -> float:
     """Per-iteration device seconds via two chain lengths, measured
     INTERLEAVED and differenced at their minima: the tunnel's per-call
     overhead swings by hundreds of ms between contention windows, and only
     at the uncontended floor (which both chain lengths visit at least once
-    across reps) does the constant overhead actually cancel. Contention
-    windows last minutes, so the reps are split into `bursts` separated by
-    `burst_gap_s` — one burst can sit entirely inside a slow window."""
+    across reps) does the constant overhead actually cancel. The chip also
+    alternates between full-rate and ~half-rate regimes lasting tens of
+    minutes (time-shared), so the reps are split into `bursts` spanning
+    several minutes — one burst can sit entirely inside a slow regime."""
     f_small = _timed_chain(fn_one, x, k_small)
     f_big = _timed_chain(fn_one, x, k_big)
     float(f_small(x))  # compile + warm
