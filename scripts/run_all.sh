@@ -51,5 +51,5 @@ else
 fi
 
 echo "== headline bench =="
-# 3 measurement bursts with 60 s gaps need ~4-5 min plus compile headroom
-retry 480 3 python bench.py | tee "$OUT/bench.json"
+# 3 measurement bursts spanning ~7 min plus compile headroom
+retry 900 3 python bench.py | tee "$OUT/bench.json"
