@@ -46,7 +46,7 @@ def _timed_chain(fn_one, x, k: int):
 
 
 def _measure(fn_one, x, k_small=2, k_big=12, reps=8, bursts=3,
-             burst_gap_s=120.0) -> float:
+             burst_gap_s=None) -> float:
     """Per-iteration device seconds via two chain lengths, measured
     INTERLEAVED and differenced at their minima: the tunnel's per-call
     overhead swings by hundreds of ms between contention windows, and only
@@ -55,6 +55,11 @@ def _measure(fn_one, x, k_small=2, k_big=12, reps=8, bursts=3,
     alternates between full-rate and ~half-rate regimes lasting tens of
     minutes (time-shared), so the reps are split into `bursts` spanning
     several minutes — one burst can sit entirely inside a slow regime."""
+    if burst_gap_s is None:
+        # Span several minutes so one burst can catch the fast rate regime,
+        # while keeping total runtime inside a cautious driver timeout;
+        # CRLOT_BENCH_GAP_S widens it for deliberate long runs.
+        burst_gap_s = float(os.environ.get("CRLOT_BENCH_GAP_S", "90"))
     f_small = _timed_chain(fn_one, x, k_small)
     f_big = _timed_chain(fn_one, x, k_big)
     float(f_small(x))  # compile + warm
