@@ -30,7 +30,7 @@ from .pipeline import istft, round_trip, stft
 from .window.windows import get_window
 
 from .resample.polyphase import resample, resample_chunked
-from .streaming_pipeline import streaming_round_trip
+from .streaming_pipeline import process_wav_file, streaming_round_trip
 
 from . import (  # noqa: E402,F401
     checkpoint,

@@ -26,13 +26,18 @@ from .ola.norm import build_norm_linear
 from .window.windows import get_window
 
 
-@partial(jax.jit, static_argnames=("cfg", "block_frames", "spectral_fn"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "block_frames", "spectral_fn", "return_carry"),
+)
 def streaming_round_trip_blocks(
     frame_blocks: jnp.ndarray,  # [num_blocks, block_frames, N] raw frames
     cfg: StftConfig,
     block_frames: int,
     spectral_fn=None,
-) -> jnp.ndarray:
+    carry_tail=None,  # [N - hop] tail from a previous call (chunk chaining)
+    return_carry: bool = False,
+):
     """Process framed blocks through window->rFFT->irFFT->OLA with a carried
     ring; returns [num_blocks * block_frames * hop] samples (steady-state
     normalized; the first frame's leading hop is emitted on the first step).
@@ -135,9 +140,14 @@ def streaming_round_trip_blocks(
         new_tail = acc[..., block_len:]
         return new_tail, emitted
 
-    init_tail = jnp.zeros(frame_blocks.shape[2:-1] + (halo,), dtype=jnp.float32)
-    _, blocks_out = jax.lax.scan(step, init_tail, frame_blocks)
-    return blocks_out.reshape(-1)
+    init_tail = (
+        jnp.zeros(frame_blocks.shape[2:-1] + (halo,), dtype=jnp.float32)
+        if carry_tail is None
+        else jnp.asarray(carry_tail, jnp.float32)
+    )
+    final_tail, blocks_out = jax.lax.scan(step, init_tail, frame_blocks)
+    out = blocks_out.reshape(-1)
+    return (out, final_tail) if return_carry else out
 
 
 def streaming_round_trip(
@@ -172,3 +182,66 @@ def streaming_round_trip(
         streaming_round_trip_blocks(frames, cfg, block_frames, spectral_fn)
     )
     return out, n - hop
+
+
+def process_wav_file(
+    infile: str,
+    outfile: str,
+    cfg: StftConfig,
+    spectral_fn=None,
+    block_frames: int = 64,
+    blocks_per_chunk: int = 16,
+    bits: int = 16,
+) -> int:
+    """File-to-file streaming round-trip at bounded memory: read a WAV in
+    hop-aligned chunks, run each through the scan pipeline with the OLA
+    tail carried across chunks (so output equals an unbroken stream), and
+    write incrementally. Handles any file length and channel count; frames
+    past EOF are zero-padded (reference Framer ZERO_PAD semantics,
+    dsp/frame/framer.cc:128-161). Returns samples written per channel.
+
+    Warm-up/cool-down: the first and last (frame_size - hop) samples have
+    partial window coverage (steady-state normalization), matching
+    streaming_round_trip's `valid_from` contract.
+    """
+    from .io.wav import WavReader, WavWriter
+
+    if cfg.center:
+        raise ValueError("streaming pipeline is uncentered (center=False)")
+    n, hop = cfg.frame_size, cfg.hop_size
+    chunk_frames = block_frames * blocks_per_chunk
+    chunk_out = chunk_frames * hop
+
+    reader = WavReader(infile)
+    channels = reader.channels
+    total = reader.num_frames
+    with WavWriter(
+        outfile, channels, reader.sample_rate, bits=bits
+    ) as writer:
+        carries = [None] * channels
+        pos = 0
+        written = 0
+        while written < total:
+            span = (chunk_frames - 1) * hop + n
+            raw = reader.read(pos, min(span, max(total - pos, 0)))
+            if raw.shape[-1] < span:  # EOF: zero-pad trailing frames
+                raw = np.pad(raw, [(0, 0), (0, span - raw.shape[-1])])
+            idx = (
+                np.arange(chunk_frames)[:, None] * hop
+                + np.arange(n)[None, :]
+            )
+            out_ch = []
+            for c in range(channels):
+                frames = jnp.asarray(
+                    raw[c][idx].reshape(blocks_per_chunk, block_frames, n)
+                )
+                out, carries[c] = streaming_round_trip_blocks(
+                    frames, cfg, block_frames, spectral_fn,
+                    carry_tail=carries[c], return_carry=True,
+                )
+                out_ch.append(np.asarray(out))
+            chunk = np.stack(out_ch)[:, : min(chunk_out, total - written)]
+            writer.write(chunk)
+            written += chunk.shape[-1]
+            pos += chunk_out
+    return written

@@ -101,3 +101,45 @@ def test_streaming_spectral_fn_matches_offline():
         want = np.asarray(round_trip(x, cfg, spectral_fn=fn))
         lo, hi = max(valid_from, n), len(got) - n
         assert snr_db(want[lo:hi], got[lo:hi]) > 90.0, (cfg.fft_backend, fn)
+
+
+def test_process_wav_file_matches_unbroken_stream(tmp_path):
+    """File-to-file chunked processing equals one unbroken streaming run
+    bit-for-bit before the 16-bit quantization, and survives WAV round-trip
+    at the codec's precision; stereo + EQ + zero-padded tail covered."""
+    import crlot_tpu as ct
+    from crlot_tpu import spectral as S
+    from crlot_tpu.streaming_pipeline import process_wav_file
+
+    rng = np.random.default_rng(9)
+    sr = 48000
+    total = 50321  # deliberately NOT chunk-aligned (exercises EOF padding)
+    x = rng.uniform(-0.8, 0.8, (2, total)).astype(np.float32)
+    infile = str(tmp_path / "in.wav")
+    outfile = str(tmp_path / "out.wav")
+    ct.write_wav(infile, x, sr, bits=32, float_format=True)
+
+    cfg = StftConfig(frame_size=512, hop_size=128, center=False)
+    eq = S.band_gain([4000.0], [1.0, 0.5], sr, 512)
+    n_written = process_wav_file(
+        infile, outfile, cfg, spectral_fn=eq,
+        block_frames=16, blocks_per_chunk=4, bits=32,
+    )
+    assert n_written == total
+    y, _ = ct.read_wav(outfile)
+    assert y.shape == (2, total)
+
+    # reference: unbroken single-call stream per channel over the same
+    # frame set (zero-pad past EOF like the chunked path does)
+    n, hop = 512, 128
+    chunk = 16 * 4 * hop
+    span_frames = -(-total // chunk) * (chunk // hop)
+    need = (span_frames - 1) * hop + n
+    xp = np.pad(x, [(0, 0), (0, need - total)])
+    for c in range(2):
+        want, _ = __import__("crlot_tpu").streaming_round_trip(
+            xp[c], cfg, block_frames=16, spectral_fn=eq
+        )
+        np.testing.assert_allclose(
+            y[c], want[:total], atol=2e-6,
+        )
