@@ -527,6 +527,57 @@ def roundtrip_composed_matmul(
     )
 
 
+def roundtrip_composed_conv(
+    signal: jnp.ndarray,  # [..., T] padded signal (frames fully inside)
+    nfft: int,
+    hop: int,
+    num_frames: int,
+    analysis_window_f64: np.ndarray,
+    per_bin_response: np.ndarray,
+    synthesis_window_f64=None,
+    precision=None,
+) -> jnp.ndarray:
+    """The composed response round-trip as ONE strided conv on the raw
+    signal: out_frames[f, j] = sum_i signal[f*hop + i] * M[i, j] is a
+    1-D convolution with kernel M and stride=hop, so XLA's conv lowering
+    windows the signal internally — the [F, N] frame matrix is never
+    materialized to HBM. Identical math to frame_signal +
+    roundtrip_composed_matmul — but MEASURED 180x SLOWER on TPU (84 ms vs
+    0.46 ms per 60 s, interleaved): XLA's conv lowering falls off the MXU
+    fast path at stride=256 / width=1024 / 1024 output channels. Kept as
+    a documented formulation (and CPU-tested); NOT used by the
+    pipeline."""
+    m = jnp.asarray(
+        _composed_roundtrip_basis(
+            nfft,
+            np.ascontiguousarray(analysis_window_f64, np.float64).tobytes(),
+            None
+            if synthesis_window_f64 is None
+            else np.ascontiguousarray(
+                synthesis_window_f64, np.float64
+            ).tobytes(),
+            np.ascontiguousarray(per_bin_response, np.complex128).tobytes(),
+        )
+    )
+    x = signal.astype(jnp.float32)
+    lead = x.shape[:-1]
+    batch = 1
+    for d in lead:
+        batch *= d
+    xb = x.reshape(batch, 1, x.shape[-1])  # [B, C=1, T]
+    kern = m[None, :, :]  # [C_in=1, N_w, N_out] -> dims (I, W, O)
+    out = jax.lax.conv_general_dilated(
+        xb,
+        kern,
+        window_strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NCW", "IWO", "NWC"),
+        precision=_prec(precision),
+    )  # [B, F_all, N]
+    out = out[:, :num_frames, :]
+    return out.reshape(lead + out.shape[1:])
+
+
 def roundtrip_packed_matmul(
     frames: jnp.ndarray,
     nfft: int,

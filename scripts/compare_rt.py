@@ -125,6 +125,18 @@ def main() -> None:
         out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
         return out[..., pad : pad + total]
 
+    def composed_conv_eq(s):
+        from crlot_tpu.core.padding import pad_signal
+        from crlot_tpu.fft.matmul_backend import roundtrip_composed_conv
+
+        gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
+        padded = pad_signal(s, pad, pad, spec.pad_mode, spec.pad_value)
+        out_frames = roundtrip_composed_conv(
+            padded, n, hop, num_frames, w64, gains, precision=prec
+        )
+        out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
+        return out[..., pad : pad + total]
+
     def tiled_eq(s):
         gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
         frames = frame_signal(s, spec)
@@ -139,6 +151,7 @@ def main() -> None:
         "xla_tiled": xla_rt(roundtrip_folded_tiled),
         "int8_tiled": int8_rt,
         "composed_eq": composed_eq,
+        "composed_conv_eq": composed_conv_eq,
         "tiled_eq": tiled_eq,
         "xla_tiled_jnp_ola": tiled_jnp_ola,
         "fullfused": fullfused,

@@ -368,3 +368,34 @@ def test_packed_tiled_route_matches_complex_route():
     spec = np.fft.rfft(fr.astype(np.float64) * w, axis=-1)
     want = np.fft.irfft(np.asarray(fn(jnp.asarray(spec))), n=nfft, axis=-1)
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_composed_conv_matches_matmul():
+    """The strided-conv formulation of the composed round-trip (no frame
+    matrix materialization) equals frame_signal + composed matmul."""
+    from crlot_tpu.fft.matmul_backend import (
+        roundtrip_composed_conv,
+        roundtrip_composed_matmul,
+    )
+    from crlot_tpu.frame.framing import frame_signal
+    from crlot_tpu.window.windows import get_window
+    from crlot_tpu.core.types import WindowType
+
+    n, hop = 512, 128
+    cfg = StftConfig(frame_size=n, hop_size=hop, center=False)
+    rng = np.random.default_rng(30)
+    w = get_window(WindowType.HANN, n, True, dtype=np.float64)
+    k = np.arange(n // 2 + 1)
+    g = (10 ** rng.uniform(-1, 1, n // 2 + 1)) * np.exp(
+        -2j * np.pi * k * 2 / n
+    )
+    for shape in [(12000,), (3, 12000)]:
+        x = rng.uniform(-1, 1, shape).astype(np.float32)
+        frames = frame_signal(jnp.asarray(x), cfg.frame_spec)
+        a = np.asarray(roundtrip_composed_matmul(frames, n, w, g))
+        b = np.asarray(
+            roundtrip_composed_conv(
+                jnp.asarray(x), n, hop, frames.shape[-2], w, g
+            )
+        )
+        np.testing.assert_allclose(a, b, atol=2e-5)
