@@ -178,13 +178,18 @@ def main() -> None:
                 float(c(jnp.float32(0), x))
                 t[name][idx].append(time.perf_counter() - t0)
     for name, (ts, tb) in t.items():
-        ms = max((min(tb) - min(ts)) / (K_BIG - K_SMALL), 1e-9) * 1e3
+        diff = min(tb) - min(ts)
+        # Never clamp a non-positive difference (minima in different tunnel
+        # windows): report NaN instead of fabricating throughput.
+        ms = diff / (K_BIG - K_SMALL) * 1e3 if diff > 0 else float("nan")
         print(
             json.dumps(
                 {
                     "variant": name,
-                    "ms": round(ms, 4),
-                    "gsamples_per_s": round(total / ms / 1e6, 3),
+                    "ms": round(ms, 4) if ms == ms else ms,
+                    "gsamples_per_s": (
+                        round(total / ms / 1e6, 3) if ms == ms else ms
+                    ),
                     "min_small_ms": round(min(ts) * 1e3, 1),
                     "min_big_ms": round(min(tb) * 1e3, 1),
                 }
