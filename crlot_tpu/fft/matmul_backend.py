@@ -578,6 +578,234 @@ def roundtrip_composed_conv(
     return out.reshape(lead + out.shape[1:])
 
 
+def quad_supported(nfft: int) -> bool:
+    """Quarter-basis path wants q = N/4 lane-aligned (multiple of 128)."""
+    return nfft % 512 == 0 and nfft <= MAX_MATMUL_NFFT
+
+
+def _quad_inverse_f64(nfft: int, g: "np.ndarray | None"):
+    """f64 inverse quarter-bases with an optional per-bin gain g[K] folded
+    into the constants (rows k scaled by g[k] — the zero-cost-EQ trick of
+    `_tiled_inverse_gained` carried to the parity-split layout)."""
+    h = nfft // 2
+    q = h // 2
+    m = np.arange(q, dtype=np.float64)
+    k_e = 2.0 * m  # even bins k = 2m, m = 0..q-1
+    k_o = 2.0 * m + 1.0  # odd bins k = 2m+1
+    n_c = np.arange(q, dtype=np.float64)  # output positions n = 0..q-1
+    n_m = np.arange(1, q, dtype=np.float64)  # interior n = 1..q-1
+    tw = 2.0 * np.pi / nfft
+    w_e = np.full(q, 2.0)
+    w_e[0] = 1.0  # hermitian weight w_0 = 1
+    w_o = np.full(q, 2.0)
+    g_e = np.ones(q) if g is None else g[0::2][:q]
+    g_o = np.ones(q) if g is None else g[1::2][:q]
+    g_nyq = 1.0 if g is None else float(g[h])
+    we = w_e * g_e
+    wo = w_o * g_o
+    altq = np.where(np.arange(q) % 2 == 0, 1.0, -1.0)
+    pe = (we[:, None] * np.cos(tw * np.outer(k_e, n_c))) / nfft  # [q, q]
+    po = (wo[:, None] * np.cos(tw * np.outer(k_o, n_c))) / nfft  # [q, q]
+    qe = -(we[1:, None] * np.sin(tw * np.outer(k_e[1:], n_m))) / nfft
+    qo = -(wo[:, None] * np.sin(tw * np.outer(k_o, n_m))) / nfft  # [q, q-1]
+    pe_q = we * altq / nfft  # n = q column of the even-cos inverse
+    qo_q = -(wo * altq) / nfft  # n = q column of the odd-sin inverse
+    cve = we / nfft  # a_nyq row: w_k (-1)^k g_k / N at k = 2m
+    cvo = -wo / nfft  # ... and at k = 2m+1
+    return pe, po, qe, qo, pe_q, qo_q, cve, cvo, g_nyq
+
+
+@lru_cache(maxsize=None)
+def _quad_consts(nfft: int):
+    """Quarter-size DFT bases: ONE MORE exact symmetry fold than
+    `_folded_forward_consts`, halving MXU FLOPs again.
+
+    The folded cos basis satisfies cos(2*pi*k*(h-n)/N) = (-1)^k cos(...)
+    (h = N/2), so folding the even/odd frame halves once more about N/4
+    splits every half-size matmul into TWO quarter-size matmuls — one per
+    bin parity — with sign-only (twiddle-free) combining. The spectrum
+    stays in its parity-split layout between forward and inverse (the
+    round-trip never reorders bins), and all fixed points of the fold
+    (n = 0, N/4; k = Nyquist) are exact rank-1 VPU borders, same trick as
+    `_tiled_consts`. At N=1024 the cores are [256, 256]: two full MXU
+    blocks per dim — the <128-contraction-dim waste that killed the full
+    radix-split CT (docs/DESIGN.md) never appears at this depth.
+
+    Numerics follow the reference contract (kissfft_adapter.cc:138-167
+    semantics: inverse includes 1/N) with f64-designed constants.
+    """
+    assert nfft % 4 == 0 and nfft >= 4
+    h = nfft // 2
+    q = h // 2
+    m = np.arange(q, dtype=np.float64)
+    k_e = 2.0 * m
+    k_o = 2.0 * m + 1.0
+    n_c = np.arange(q, dtype=np.float64)
+    n_m = np.arange(1, q, dtype=np.float64)
+    tw = 2.0 * np.pi / nfft
+    ce = np.cos(tw * np.outer(n_c, k_e))  # [q, q] rows n = 0..q-1
+    co = np.cos(tw * np.outer(n_c, k_o))  # [q, q]
+    se = -np.sin(tw * np.outer(n_m, k_e[1:]))  # [q-1, q-1] m = 1..q-1
+    so = -np.sin(tw * np.outer(n_m, k_o))  # [q-1, q]
+    inv = _quad_inverse_f64(nfft, None)[:-1]
+    altq = np.where(np.arange(q) % 2 == 0, 1.0, -1.0)
+    sign_q = 1.0 if q % 2 == 0 else -1.0
+
+    def f32(a):
+        return np.ascontiguousarray(a, np.float32)
+
+    return (
+        f32(ce), f32(co), f32(se), f32(so),
+        tuple(f32(a) for a in inv),
+        f32(altq), sign_q,
+    )
+
+
+@lru_cache(maxsize=None)
+def _quad_inverse_gained(nfft: int, gains_bytes: bytes):
+    g = np.frombuffer(gains_bytes, dtype=np.float64)
+    assert len(g) == nfft // 2 + 1
+    out = _quad_inverse_f64(nfft, g)
+    return (
+        tuple(np.ascontiguousarray(a, np.float32) for a in out[:-1]),
+        out[-1],
+    )
+
+
+def rfft_folded_quad_parts(
+    x: jnp.ndarray, nfft: int, window_f32=None, precision=None
+):
+    """rfft(x [* w]) -> parity-split packed spectrum via four quarter-size
+    MXU matmuls (half the FLOPs of `rfft_folded_tiled_parts`):
+
+      re_e [..., q]   = Re X[2m],   m = 0..q-1      (q = nfft//4)
+      re_o [..., q]   = Re X[2m+1]
+      re_nyq [..., 1] = Re X[h]                      (h = nfft//2)
+      im_e [..., q-1] = Im X[2m],   m = 1..q-1       (Im X[0] = 0 exactly)
+      im_o [..., q]   = Im X[2m+1]
+    """
+    ce, co, se, so, _, altq, sign_q = _quad_consts(nfft)
+    h = nfft // 2
+    q = h // 2
+    y = x.astype(jnp.float32)
+    if window_f32 is not None:
+        y = y * window_f32
+    # First fold (about N/2): even/odd parts of the frame.
+    head = y[..., 1:h]
+    tail = jnp.flip(y[..., h + 1 :], axis=-1)
+    e = jnp.concatenate([y[..., :1], head + tail], axis=-1)  # n = 0..h-1
+    e_n = y[..., h : h + 1]
+    o = head - tail  # n = 1..h-1
+    # Second fold (about N/4), pairing n <-> h-n.
+    e_head = e[..., 1:q]
+    e_tail = jnp.flip(e[..., q + 1 :], axis=-1)  # e[h-n], n = 1..q-1
+    u = jnp.concatenate([e[..., :1], e_head + e_tail], axis=-1)  # [..., q]
+    v = jnp.concatenate([e[..., :1], e_head - e_tail], axis=-1)  # [..., q]
+    eq = e[..., q : q + 1]
+    o_head = o[..., : q - 1]  # o[n],   n = 1..q-1
+    o_tail = jnp.flip(o[..., q:], axis=-1)  # o[h-n], n = 1..q-1
+    od = o_head - o_tail
+    os_ = o_head + o_tail
+    oq = o[..., q - 1 : q]
+    altj = jnp.asarray(altq)
+    prec = _prec(precision)
+    # Borders: e[q] enters even bins as (-1)^m (odd bins: cos(pi*k/2) = 0);
+    # y[h] enters every Re bin as (-1)^k -> +1 on even bins, -1 on odd.
+    re_e = jnp.dot(u, jnp.asarray(ce), precision=prec) + eq * altj + e_n
+    re_o = jnp.dot(v, jnp.asarray(co), precision=prec) - e_n
+    re_nyq = (
+        jnp.sum(u * altj, axis=-1, keepdims=True) + eq * sign_q + e_n
+    )
+    im_e = jnp.dot(od, jnp.asarray(se), precision=prec)
+    im_o = jnp.dot(os_, jnp.asarray(so), precision=prec) - oq * altj
+    return re_e, re_o, re_nyq, im_e, im_o
+
+
+def irfft_folded_quad_parts(
+    re_e: jnp.ndarray,
+    re_o: jnp.ndarray,
+    re_nyq: jnp.ndarray,
+    im_e: jnp.ndarray,
+    im_o: jnp.ndarray,
+    nfft: int,
+    precision=None,
+    per_bin_gains_f64=None,
+) -> jnp.ndarray:
+    """Parity-split packed spectrum -> real [..., nfft] (includes 1/N) via
+    four quarter-size matmuls; optional REAL per-bin gain folded into the
+    inverse constants at zero runtime cost."""
+    _, _, _, _, inv, altq, sign_q = _quad_consts(nfft)
+    g_nyq = 1.0
+    if per_bin_gains_f64 is not None:
+        inv, g_nyq = _quad_inverse_gained(
+            nfft, np.ascontiguousarray(per_bin_gains_f64, np.float64).tobytes()
+        )
+    pe_b, po_b, qe_b, qo_b, pe_q, qo_q, cve, cvo = inv
+    h = nfft // 2
+    q = h // 2
+    altj = jnp.asarray(altq)
+    prec = _prec(precision)
+    pe = jnp.dot(re_e, jnp.asarray(pe_b), precision=prec)  # [..., q]
+    po = jnp.dot(re_o, jnp.asarray(po_b), precision=prec)  # [..., q]
+    # Nyquist-bin contribution (-1)^n g/N is n-even under the fold (h even).
+    P = pe + re_nyq * (g_nyq / nfft) * altj
+    a_q = (
+        jnp.sum(re_e * jnp.asarray(pe_q), axis=-1, keepdims=True)
+        + re_nyq * (g_nyq * sign_q / nfft)
+    )
+    qe = jnp.dot(im_e, jnp.asarray(qe_b), precision=prec)  # [..., q-1]
+    qo = jnp.dot(im_o, jnp.asarray(qo_b), precision=prec)  # [..., q-1]
+    b_q = jnp.sum(im_o * jnp.asarray(qo_q), axis=-1, keepdims=True)
+    a_nyq = (
+        jnp.sum(re_e * jnp.asarray(cve), axis=-1, keepdims=True)
+        + jnp.sum(re_o * jnp.asarray(cvo), axis=-1, keepdims=True)
+        + re_nyq * (g_nyq / nfft)  # (-1)^h = +1 (h even for nfft % 4 == 0)
+    )
+    # Unfold both symmetry levels in one assembly:
+    #   x[n]     = P[n] + po[n] + qe[n] + qo[n]        n = 1..q-1
+    #   x[h-n]   = P[n] - po[n] - qe[n] + qo[n]
+    #   x[h+n]   = P[n] - po[n] + qe[n] - qo[n]
+    #   x[N-n]   = P[n] + po[n] - qe[n] - qo[n]
+    Pm = P[..., 1:]
+    pom = po[..., 1:]
+    out0 = P[..., :1] + po[..., :1]
+    return jnp.concatenate(
+        [
+            out0,
+            Pm + pom + qe + qo,
+            a_q + b_q,
+            jnp.flip(Pm - pom - qe + qo, axis=-1),
+            a_nyq,
+            Pm - pom + qe - qo,
+            a_q - b_q,
+            jnp.flip(Pm + pom - qe - qo, axis=-1),
+        ],
+        axis=-1,
+    )
+
+
+def roundtrip_folded_quad(
+    frames: jnp.ndarray,
+    nfft: int,
+    analysis_window_f64: np.ndarray,
+    synthesis_window_f64=None,
+    precision=None,
+    per_bin_gains_f64=None,
+) -> jnp.ndarray:
+    """irfft(rfft(frames * w) [* g]) via quarter-size DFT bases: HALF the
+    MXU FLOPs of `roundtrip_folded_tiled` (8 matmuls with [N/4, N/4] cores
+    vs 4 with [N/2, N/2]), with the spectrum held in parity-split layout
+    between the directions so no bin reorder is ever materialized."""
+    w = jnp.asarray(np.asarray(analysis_window_f64, np.float32))
+    parts = rfft_folded_quad_parts(frames, nfft, w, precision)
+    out = irfft_folded_quad_parts(
+        *parts, nfft, precision, per_bin_gains_f64
+    )
+    if synthesis_window_f64 is not None:
+        out = out * jnp.asarray(np.asarray(synthesis_window_f64, np.float32))
+    return out
+
+
 def roundtrip_packed_matmul(
     frames: jnp.ndarray,
     nfft: int,

@@ -26,6 +26,7 @@ from crlot_tpu.core.types import StftConfig  # noqa: E402
 from crlot_tpu.fft import dispatch as _fftd  # noqa: E402
 from crlot_tpu.fft.matmul_backend import (  # noqa: E402
     roundtrip_folded_matmul,
+    roundtrip_folded_quad,
     roundtrip_folded_tiled,
 )
 from crlot_tpu.fft.pallas_rt import roundtrip_signal_fused  # noqa: E402
@@ -137,6 +138,15 @@ def main() -> None:
         out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
         return out[..., pad : pad + total]
 
+    def quad_eq(s):
+        gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
+        frames = frame_signal(s, spec)
+        out_frames = roundtrip_folded_quad(
+            frames, n, w64, None, prec, per_bin_gains_f64=gains
+        )
+        out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
+        return out[..., pad : pad + total]
+
     def tiled_eq(s):
         gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
         frames = frame_signal(s, spec)
@@ -149,6 +159,8 @@ def main() -> None:
     variants = {
         "xla_folded": xla_rt(roundtrip_folded_matmul),
         "xla_tiled": xla_rt(roundtrip_folded_tiled),
+        "xla_quad": xla_rt(roundtrip_folded_quad),
+        "quad_eq": quad_eq,
         "int8_tiled": int8_rt,
         "composed_eq": composed_eq,
         "composed_conv_eq": composed_conv_eq,
