@@ -182,6 +182,13 @@ def main() -> None:
             float(c(jnp.float32(0), x))  # compile + warm
     print(json.dumps({"compiled": list(chains)}), flush=True)
 
+    from crlot_tpu.profiling import roofline_samples_per_sec
+
+    roof = roofline_samples_per_sec(n, hop)
+    cap = 1.35 * max(
+        roof["bandwidth_bound_samples_per_sec"],
+        roof["compute_bound_samples_per_sec"],
+    )
     t = {name: ([], []) for name in chains}
     for _ in range(ROUNDS):
         for name, (cs, cb) in chains.items():
@@ -194,20 +201,21 @@ def main() -> None:
         # Never clamp a non-positive difference (minima in different tunnel
         # windows): report NaN instead of fabricating throughput.
         ms = diff / (K_BIG - K_SMALL) * 1e3 if diff > 0 else float("nan")
-        print(
-            json.dumps(
-                {
-                    "variant": name,
-                    "ms": round(ms, 4) if ms == ms else ms,
-                    "gsamples_per_s": (
-                        round(total / ms / 1e6, 3) if ms == ms else ms
-                    ),
-                    "min_small_ms": round(min(ts) * 1e3, 1),
-                    "min_big_ms": round(min(tb) * 1e3, 1),
-                }
+        rec = {
+            "variant": name,
+            "ms": round(ms, 4) if ms == ms else ms,
+            "gsamples_per_s": (
+                round(total / ms / 1e6, 3) if ms == ms else ms
             ),
-            flush=True,
-        )
+            "min_small_ms": round(min(ts) * 1e3, 1),
+            "min_big_ms": round(min(tb) * 1e3, 1),
+        }
+        # A positive-but-tiny difference can still be a cross-window artifact
+        # (same failure mode bench.py rejects): flag anything implying
+        # faster-than-hardware throughput instead of letting it rank.
+        if ms == ms and total / (ms / 1e3) > cap:
+            rec["suspect_above_roofline"] = True
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
