@@ -527,6 +527,144 @@ def roundtrip_composed_matmul(
     )
 
 
+@lru_cache(maxsize=None)
+def _composed_block_kernel(
+    nfft: int,
+    hop: int,
+    awin_bytes: bytes,
+    swin_bytes,
+    response_bytes: bytes,
+):
+    """[L, hop] block-Toeplitz kernel folding frame map + OLA, f64.
+
+    The composed per-frame map M (see `_composed_roundtrip_basis`) plus the
+    overlap-add is, per output hop-block, one linear map over the
+    L = (R-1)*hop + nfft input samples that any frame touching the block
+    reads (R = nfft/hop):
+
+        y[b*hop + s] = sum_tau x[b*hop + tau - (R-1)*hop] * K[tau, s]
+        K[tau, s]    = sum_r M[tau - (R-1)*hop + r*hop, r*hop + s]
+                       (terms with row index outside [0, nfft) drop)
+
+    i.e. the OLA ride along is folded into the kernel at design time (f64:
+    the COLA sum of window values is exact on host). Contraction L = 1792
+    at N=1024/H=256 vs the composed frame matmul's 4096 — 2.3x fewer MACs
+    per sample AND no [F, N] frame matrix in HBM.
+    """
+    r_count = nfft // hop
+    m = _composed_roundtrip_basis(
+        nfft, awin_bytes, swin_bytes, response_bytes
+    ).astype(np.float64)
+    ll = (r_count - 1) * hop + nfft
+    k = np.zeros((ll, hop), np.float64)
+    for r in range(r_count):
+        rows = np.arange(nfft)  # M rows touched by frame offset r
+        k[rows + (r_count - 1 - r) * hop, :] += m[:, r * hop : (r + 1) * hop]
+    return np.ascontiguousarray(k.astype(np.float32))
+
+
+def composed_block_supported(nfft: int, hop: int) -> bool:
+    return (
+        nfft <= MAX_MATMUL_NFFT
+        and hop > 0
+        and nfft % hop == 0
+        and hop % 128 == 0
+        and nfft // hop >= 2
+    )
+
+
+def roundtrip_composed_blocked(
+    padded: jnp.ndarray,  # [..., T_pad] padded signal (frames fully inside)
+    nfft: int,
+    hop: int,
+    num_frames: int,
+    analysis_window_f64: np.ndarray,
+    per_bin_response: np.ndarray,
+    synthesis_window_f64=None,
+    precision=None,
+) -> jnp.ndarray:
+    """Composed per-bin round-trip INCLUDING overlap-add as hop-block
+    matmuls on the raw signal: returns the UN-normalized OLA accumulation
+    of length full = (num_frames-1)*hop + nfft (divide by the COLA norm and
+    crop like any other OLA output).
+
+    Runtime shape: R2 = L/hop matmuls of [B, hop] x [hop, hop] whose
+    operands are direct shifted hop-block views of the signal — the frame
+    matrix is never materialized and the OLA pass disappears into the
+    matmul epilogue sum. The first/last R-1 output blocks see phantom
+    frames (the kernel cannot know frame bounds), so they are recomputed
+    exactly via the composed frame map on the R-1 boundary frames and
+    patched in.
+    """
+    assert composed_block_supported(nfft, hop)
+    # Head/tail patches each span R-1 blocks; with fewer than 2(R-1) frames
+    # they would overlap — callers fall back to the frame formulation.
+    assert num_frames >= 2 * (nfft // hop - 1)
+    wb = np.ascontiguousarray(analysis_window_f64, np.float64).tobytes()
+    sb = (
+        None
+        if synthesis_window_f64 is None
+        else np.ascontiguousarray(synthesis_window_f64, np.float64).tobytes()
+    )
+    rb = np.ascontiguousarray(per_bin_response, np.complex128).tobytes()
+    kern = _composed_block_kernel(nfft, hop, wb, sb, rb)
+    r_count = nfft // hop
+    r2 = (r_count - 1) + nfft // hop  # = L / hop
+    full = (num_frames - 1) * hop + nfft
+    nb = full // hop  # hop | nfft => hop | full
+    x = padded[..., : (num_frames - 1) * hop + nfft].astype(jnp.float32)
+    # Extend so block row b reads x[(b - (R-1))*hop : ...] with zero halo.
+    left = (r_count - 1) * hop
+    right = (nb + r2 - 1) * hop - x.shape[-1] - left
+    x_ext = jnp.pad(
+        x, ((0, 0),) * (x.ndim - 1) + ((left, right),)
+    )
+    blocks = x_ext.reshape(x_ext.shape[:-1] + (-1, hop))  # [..., nb+r2-1, hop]
+    prec = _prec(precision)
+    kj = jnp.asarray(kern)
+    acc = None
+    for j in range(r2):
+        term = jnp.dot(
+            blocks[..., j : j + nb, :],
+            kj[j * hop : (j + 1) * hop, :],
+            precision=prec,
+        )
+        acc = term if acc is None else acc + term
+    out = acc.reshape(acc.shape[:-2] + (nb * hop,))
+    # Exact edge patch: recompute the head/tail (R-1) blocks from the real
+    # boundary frames (phantom-frame-free).
+    edge = (r_count - 1) * hop
+    m = jnp.asarray(_composed_roundtrip_basis(nfft, wb, sb, rb))
+
+    def _edge_frames(start_frame):
+        rows = [
+            x[..., f * hop : f * hop + nfft]
+            for f in range(start_frame, start_frame + r_count - 1)
+        ]
+        return jnp.stack(rows, axis=-2)  # [..., R-1, N]
+
+    head_of = jnp.matmul(_edge_frames(0), m, precision=prec)
+    tail_of = jnp.matmul(_edge_frames(num_frames - r_count + 1), m,
+                         precision=prec)
+
+    def _local_ola(frames_small):
+        span = (r_count - 2) * hop + nfft
+        acc_l = jnp.zeros(frames_small.shape[:-2] + (span,), jnp.float32)
+        for f in range(r_count - 1):
+            acc_l = acc_l.at[..., f * hop : f * hop + nfft].add(
+                frames_small[..., f, :]
+            )
+        return acc_l
+
+    head = _local_ola(head_of)[..., :edge]
+    tail_span = _local_ola(tail_of)
+    tail = tail_span[..., tail_span.shape[-1] - edge :]
+    out = jnp.concatenate(
+        [head, out[..., edge : full - edge], tail], axis=-1
+    )
+    return out
+
+
 def roundtrip_composed_conv(
     signal: jnp.ndarray,  # [..., T] padded signal (frames fully inside)
     nfft: int,

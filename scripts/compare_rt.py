@@ -147,6 +147,17 @@ def main() -> None:
         out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
         return out[..., pad : pad + total]
 
+    def blocked_eq(s):
+        from crlot_tpu.fft.matmul_backend import roundtrip_composed_blocked
+
+        gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
+        padded = pad_signal(s, pad, pad, spec.pad_mode, spec.pad_value)
+        acc = roundtrip_composed_blocked(
+            padded, n, hop, num_frames, w64, gains, precision=prec
+        )
+        out = acc / jnp.maximum(norm, cfg.eps)
+        return out[..., pad : pad + total]
+
     def tiled_eq(s):
         gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
         frames = frame_signal(s, spec)
@@ -163,6 +174,7 @@ def main() -> None:
         "quad_eq": quad_eq,
         "int8_tiled": int8_rt,
         "composed_eq": composed_eq,
+        "blocked_eq": blocked_eq,
         "composed_conv_eq": composed_conv_eq,
         "tiled_eq": tiled_eq,
         "xla_tiled_jnp_ola": tiled_jnp_ola,
