@@ -573,6 +573,29 @@ def composed_block_supported(nfft: int, hop: int) -> bool:
     )
 
 
+@lru_cache(maxsize=None)
+def _composed_block_kernel_grouped(
+    nfft: int,
+    hop: int,
+    group: int,
+    awin_bytes: bytes,
+    swin_bytes,
+    response_bytes: bytes,
+):
+    """K for GROUP consecutive output hop-blocks per matmul row: the G=1
+    kernel stacked block-banded, K_G[tau, g*hop + s] = K1[tau - g*hop, s].
+    Larger G trades a mild MAC increase ((R+G-2)*hop + N per sample vs
+    (R-1)*hop + N) for ONE chunky MXU matmul instead of L/hop skinny ones."""
+    k1 = _composed_block_kernel(
+        nfft, hop, awin_bytes, swin_bytes, response_bytes
+    ).astype(np.float64)
+    ll = k1.shape[0]
+    kg = np.zeros((ll + (group - 1) * hop, group * hop), np.float64)
+    for g in range(group):
+        kg[g * hop : g * hop + ll, g * hop : (g + 1) * hop] = k1
+    return np.ascontiguousarray(kg.astype(np.float32))
+
+
 def roundtrip_composed_blocked(
     padded: jnp.ndarray,  # [..., T_pad] padded signal (frames fully inside)
     nfft: int,
@@ -582,6 +605,7 @@ def roundtrip_composed_blocked(
     per_bin_response: np.ndarray,
     synthesis_window_f64=None,
     precision=None,
+    group: int = 1,
 ) -> jnp.ndarray:
     """Composed per-bin round-trip INCLUDING overlap-add as hop-block
     matmuls on the raw signal: returns the UN-normalized OLA accumulation
@@ -600,6 +624,7 @@ def roundtrip_composed_blocked(
     # Head/tail patches each span R-1 blocks; with fewer than 2(R-1) frames
     # they would overlap — callers fall back to the frame formulation.
     assert num_frames >= 2 * (nfft // hop - 1)
+    assert group >= 1
     wb = np.ascontiguousarray(analysis_window_f64, np.float64).tobytes()
     sb = (
         None
@@ -607,30 +632,34 @@ def roundtrip_composed_blocked(
         else np.ascontiguousarray(synthesis_window_f64, np.float64).tobytes()
     )
     rb = np.ascontiguousarray(per_bin_response, np.complex128).tobytes()
-    kern = _composed_block_kernel(nfft, hop, wb, sb, rb)
     r_count = nfft // hop
-    r2 = (r_count - 1) + nfft // hop  # = L / hop
-    full = (num_frames - 1) * hop + nfft
-    nb = full // hop  # hop | nfft => hop | full
-    x = padded[..., : (num_frames - 1) * hop + nfft].astype(jnp.float32)
-    # Extend so block row b reads x[(b - (R-1))*hop : ...] with zero halo.
+    full = (num_frames - 1) * hop + nfft  # hop | nfft => hop | full
+    gh = group * hop
+    kern = _composed_block_kernel_grouped(nfft, hop, group, wb, sb, rb)
+    mg = -(-kern.shape[0] // gh)  # matmul terms (7 at G=1, 4 at G=2, ...)
+    if mg * gh != kern.shape[0]:
+        kern = np.pad(kern, ((0, mg * gh - kern.shape[0]), (0, 0)))
+    nbg = -(-full // gh)  # output rows (groups of G hop-blocks)
+    x = padded[..., :full].astype(jnp.float32)
+    # Extend so group row bg reads x[bg*G*hop - (R-1)*hop : ... + mg*G*hop)
+    # with zero halo on both sides.
     left = (r_count - 1) * hop
-    right = (nb + r2 - 1) * hop - x.shape[-1] - left
+    right = (nbg - 1 + mg) * gh - x.shape[-1] - left
     x_ext = jnp.pad(
         x, ((0, 0),) * (x.ndim - 1) + ((left, right),)
     )
-    blocks = x_ext.reshape(x_ext.shape[:-1] + (-1, hop))  # [..., nb+r2-1, hop]
+    blocks = x_ext.reshape(x_ext.shape[:-1] + (-1, gh))
     prec = _prec(precision)
     kj = jnp.asarray(kern)
     acc = None
-    for j in range(r2):
+    for m in range(mg):
         term = jnp.dot(
-            blocks[..., j : j + nb, :],
-            kj[j * hop : (j + 1) * hop, :],
+            blocks[..., m : m + nbg, :],
+            kj[m * gh : (m + 1) * gh, :],
             precision=prec,
         )
         acc = term if acc is None else acc + term
-    out = acc.reshape(acc.shape[:-2] + (nb * hop,))
+    out = acc.reshape(acc.shape[:-2] + (nbg * gh,))[..., :full]
     # Exact edge patch: recompute the head/tail (R-1) blocks from the real
     # boundary frames (phantom-frame-free).
     edge = (r_count - 1) * hop

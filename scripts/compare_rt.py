@@ -147,16 +147,24 @@ def main() -> None:
         out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
         return out[..., pad : pad + total]
 
-    def blocked_eq(s):
-        from crlot_tpu.fft.matmul_backend import roundtrip_composed_blocked
+    def blocked_eq_g(g):
+        def fn(s):
+            from crlot_tpu.fft.matmul_backend import (
+                roundtrip_composed_blocked,
+            )
 
-        gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
-        padded = pad_signal(s, pad, pad, spec.pad_mode, spec.pad_value)
-        acc = roundtrip_composed_blocked(
-            padded, n, hop, num_frames, w64, gains, precision=prec
-        )
-        out = acc / jnp.maximum(norm, cfg.eps)
-        return out[..., pad : pad + total]
+            gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
+            padded = pad_signal(s, pad, pad, spec.pad_mode, spec.pad_value)
+            acc = roundtrip_composed_blocked(
+                padded, n, hop, num_frames, w64, gains, precision=prec,
+                group=g,
+            )
+            out = acc / jnp.maximum(norm, cfg.eps)
+            return out[..., pad : pad + total]
+
+        return fn
+
+    blocked_eq = blocked_eq_g(1)
 
     def tiled_eq(s):
         gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
@@ -175,6 +183,9 @@ def main() -> None:
         "int8_tiled": int8_rt,
         "composed_eq": composed_eq,
         "blocked_eq": blocked_eq,
+        "blocked2_eq": blocked_eq_g(2),
+        "blocked3_eq": blocked_eq_g(3),
+        "blocked6_eq": blocked_eq_g(6),
         "composed_conv_eq": composed_conv_eq,
         "tiled_eq": tiled_eq,
         "xla_tiled_jnp_ola": tiled_jnp_ola,

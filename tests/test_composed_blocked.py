@@ -54,6 +54,29 @@ def test_blocked_matches_frame_form(n, hop):
     _run(n, hop, 20000, gains)
 
 
+@pytest.mark.parametrize("group", [2, 3, 4, 8])
+def test_blocked_grouped_matches_g1(group):
+    """Grouped rows (G hop-blocks per matmul row) change only the matmul
+    shape, not the math."""
+    n, hop = 1024, 256
+    gains = 10 ** np.linspace(-0.4, 0.4, n // 2 + 1)
+    w = get_window(WindowType.HANN, n, True, dtype=np.float64)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.9, 0.9, 20000).astype(np.float32)
+    xp = np.pad(x, n // 2, mode="reflect")
+    F = (len(xp) - n) // hop + 1
+    a = np.asarray(
+        roundtrip_composed_blocked(jnp.asarray(xp), n, hop, F, w, gains)
+    )
+    b = np.asarray(
+        roundtrip_composed_blocked(
+            jnp.asarray(xp), n, hop, F, w, gains, group=group
+        )
+    )
+    rel = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(a**2))
+    assert rel < 1e-5, f"G={group}: rel rmse {rel}"
+
+
 def test_blocked_complex_response():
     """Fractional-delay (complex) response rides in the kernel too."""
     n, hop = 1024, 256
