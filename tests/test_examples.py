@@ -67,6 +67,15 @@ def test_sharded_eq_example(small_wav, tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_time_stretch_example(small_wav, tmp_path):
+    out = str(tmp_path / "out.wav")
+    r = _run("time_stretch.py", small_wav, out, "--rate", "1.5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(out) > 1000
+    r = _run("time_stretch.py", small_wav, out, "--semitones", "-5")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
 def test_streaming_checkpoint_example(small_wav, tmp_path):
     out = str(tmp_path / "out.npy")
     ckpt = str(tmp_path / "stream.ckpt.npz")
