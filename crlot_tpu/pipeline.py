@@ -165,21 +165,53 @@ def round_trip(
         and on_tpu
     )
     if use_packed:
-        frames = frame_signal(signal, cfg.frame_spec)
         w64 = _window_f64(cfg)
         if per_bin is not None:
+            from .fft.matmul_backend import composed_block_supported
+
+            spec_ = cfg.frame_spec
+            num_frames = spec_.num_frames(signal.shape[-1])
+            if (
+                composed_block_supported(cfg.frame_size, cfg.hop_size)
+                and num_frames >= 2 * (cfg.frame_size // cfg.hop_size - 1)
+            ):
+                # Blocked (hop-block Toeplitz) form: OLA folds into the
+                # kernel, no [F, N] frame matrix, ~2x fewer MACs/sample.
+                # group=2 measured fastest and most stable across tunnel
+                # rate regimes (scripts/compare_rt.py, docs/DESIGN.md).
+                from .core.padding import pad_signal
+                from .fft.matmul_backend import roundtrip_composed_blocked
+
+                padded = pad_signal(
+                    signal, spec_.pad_amount, spec_.pad_amount,
+                    spec_.pad_mode, spec_.pad_value,
+                )
+                acc = roundtrip_composed_blocked(
+                    padded, cfg.frame_size, cfg.hop_size, num_frames, w64,
+                    per_bin, w64 if cfg.synthesis_window else None,
+                    precision=_fft.to_lax_precision(cfg.fft_precision),
+                    group=2,
+                )
+                pad = spec_.pad_amount
+                full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
+                norm = jnp.asarray(_norm_np(cfg, num_frames, full))
+                out = acc / jnp.maximum(norm, cfg.eps)
+                return out[..., pad : pad + signal.shape[-1]]
             # Always the f32 composed path, regardless of tier: the int8
             # variant (int8_backend.roundtrip_composed_i8) loses SNR on
             # near-diagonal circulants and could dip below the 60 dB bar
             # for near-identity responses — it stays an explicit call.
             from .fft.matmul_backend import roundtrip_composed_matmul
 
+            frames = frame_signal(signal, cfg.frame_spec)
             out_frames = roundtrip_composed_matmul(
                 frames, cfg.frame_size, w64, per_bin,
                 w64 if cfg.synthesis_window else None,
                 precision=_fft.to_lax_precision(cfg.fft_precision),
             )
-        elif tiled_supported(cfg.frame_size):
+            return ola_tail(out_frames, frames.shape[-2])
+        frames = frame_signal(signal, cfg.frame_spec)
+        if tiled_supported(cfg.frame_size):
             if cfg.fft_precision == FftPrecision.INT8X2:
                 from .fft.int8_backend import roundtrip_folded_tiled_i8
 
