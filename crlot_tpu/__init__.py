@@ -30,6 +30,7 @@ from .pipeline import istft, round_trip, stft
 from .window.windows import get_window
 
 from .resample.polyphase import resample, resample_chunked
+from .convolve import convolve
 from .streaming_pipeline import process_wav_file, streaming_round_trip
 from .vocoder import pitch_shift, time_stretch
 

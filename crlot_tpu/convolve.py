@@ -1,0 +1,90 @@
+"""Exact 1-D FIR convolution as hop-block Toeplitz MXU matmuls.
+
+TPU-native direct convolution: XLA's conv lowering falls off the MXU fast
+path at DSP-typical shapes (measured 180x slow for the composed round-trip,
+docs/DESIGN.md), and FFT overlap-add needs length padding and complex
+intermediates. Instead the linear convolution is blocked like
+`fft.matmul_backend.roundtrip_composed_blocked`: each output hop-block is
+one row of a [B, M*hop] x [M*hop, hop] matmul whose kernel is the taps laid
+out on the Toeplitz diagonals — exact (no circular wrap), lane-aligned, and
+entirely on the MXU. MACs/sample = ceil((L-1)/hop + 1)*hop ~= L + hop for
+L taps.
+
+Modes follow numpy.convolve: full (T+L-1), same (T, centered), valid
+(T-L+1).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HOP = 256  # lane-aligned output block (2 x 128)
+
+
+@lru_cache(maxsize=None)
+def _toeplitz_kernel(taps_bytes: bytes, hop: int):
+    """[M*hop, hop] kernel: K[tau, s] = taps[s - tau + (M-1)*hop]."""
+    taps = np.frombuffer(taps_bytes, dtype=np.float64)
+    ll = len(taps)
+    mg = -(-(ll - 1) // hop) + 1 if ll > 1 else 1
+    k = np.zeros((mg * hop, hop), np.float64)
+    off = (mg - 1) * hop
+    tau = np.arange(mg * hop)[:, None]
+    s = np.arange(hop)[None, :]
+    j = s - tau + off
+    inside = (j >= 0) & (j < ll)
+    k[inside] = taps[j[inside]]
+    return np.ascontiguousarray(k.astype(np.float32)), mg
+
+
+def convolve(
+    x: jnp.ndarray,
+    taps,
+    mode: str = "full",
+    precision=None,
+) -> jnp.ndarray:
+    """Linear convolution of `[..., T]` with 1-D `taps` (len L <= a few
+    thousand — kernel memory is ~L*hop floats). Matches numpy.convolve
+    semantics for `mode` in {"full", "same", "valid"}."""
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"unknown mode: {mode}")
+    taps64 = np.asarray(taps, np.float64)
+    if taps64.ndim != 1 or taps64.size == 0:
+        raise ValueError("taps must be a non-empty 1-D array")
+    x = jnp.asarray(x, jnp.float32)
+    t = x.shape[-1]
+    ll = taps64.size
+    if mode == "valid" and t < ll:
+        raise ValueError(f"valid mode needs len(x) >= len(taps), got {t} < {ll}")
+    hop = _HOP
+    kern, mg = _toeplitz_kernel(taps64.tobytes(), hop)
+    n_full = t + ll - 1
+    nb = -(-n_full // hop)
+    # Row b reads x_ext[b*hop : b*hop + mg*hop) with x_ext left-padded by
+    # (mg-1)*hop zeros (the Toeplitz halo) and right-padded to cover row
+    # nb-1.
+    left = (mg - 1) * hop
+    right = (nb - 1 + mg) * hop - left - t
+    x_ext = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((left, right),))
+    blocks = x_ext.reshape(x_ext.shape[:-1] + (-1, hop))
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
+    kj = jnp.asarray(kern)
+    acc = None
+    for m in range(mg):
+        term = jnp.dot(
+            blocks[..., m : m + nb, :],
+            kj[m * hop : (m + 1) * hop, :],
+            precision=prec,
+        )
+        acc = term if acc is None else acc + term
+    full = acc.reshape(acc.shape[:-2] + (nb * hop,))[..., :n_full]
+    if mode == "full":
+        return full
+    if mode == "same":
+        start = (ll - 1) // 2
+        return full[..., start : start + t]
+    return full[..., ll - 1 : t]  # valid: length T - L + 1
