@@ -100,8 +100,9 @@ def bench_e2e(results: Dict[str, float]) -> None:
 
 
 def bench_spectral(results: Dict[str, float]) -> None:
-    """Round-trip with a fixed spectral EQ: the composed one-matmul path
-    (round_trip resolves the per-bin response and runs [F,N] @ [N,N])."""
+    """Round-trip with a fixed spectral EQ: round_trip resolves the per-bin
+    response and lowers to the blocked hop-block Toeplitz kernel (composed
+    [N, N] matmul fallback off the lane-aligned gate)."""
     from ..core.types import StftConfig
     from ..metrics import snr_db
     from ..pipeline import round_trip
@@ -183,6 +184,20 @@ def bench_sweep(results: Dict[str, float]) -> None:
     )
 
 
+def bench_convolve(results: Dict[str, float]) -> None:
+    """Direct FIR convolution (Toeplitz matmul formulation), 255 taps."""
+    from ..convolve import convolve
+
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-0.9, 0.9, 48000 * 4).astype(np.float32)
+    taps = (np.hamming(255) / 127.0).astype(np.float32)
+    y = jax.jit(lambda s: convolve(s, taps, mode="same"))(x)
+    assert np.isfinite(np.asarray(y)).all()
+    sec = _time(lambda s: convolve(s, taps, mode="same"), x)
+    results["convolve_255tap_4s_ms"] = round(sec * 1e3, 3)
+    results["convolve_255tap_msamples_per_s"] = round(len(x) / sec / 1e6, 1)
+
+
 def bench_resample(results: Dict[str, float]) -> None:
     """BASELINE config 3: polyphase resample chain 44.1k -> 48k -> 16k."""
     from ..resample.polyphase import resample
@@ -205,7 +220,7 @@ def main(argv=None) -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument(
         "--suites",
-        default="fft,kernels,ola,e2e,spectral,multichannel,sweep,resample",
+        default="fft,kernels,ola,e2e,spectral,multichannel,sweep,resample,convolve",
         help="comma-separated subset",
     )
     args = ap.parse_args(argv)
@@ -224,6 +239,7 @@ def main(argv=None) -> None:
         ("multichannel", bench_multichannel),
         ("sweep", bench_sweep),
         ("resample", bench_resample),
+        ("convolve", bench_convolve),
     ):
         if name not in suites:
             continue
