@@ -4,23 +4,28 @@ TPU-native direct convolution: XLA's conv lowering falls off the MXU fast
 path at DSP-typical shapes (measured 180x slow for the composed round-trip,
 docs/DESIGN.md), and FFT overlap-add needs length padding and complex
 intermediates. Instead the linear convolution is blocked like
-`fft.matmul_backend.roundtrip_composed_blocked`: each output hop-block is
-one row of a [B, M*hop] x [M*hop, hop] matmul whose kernel is the taps laid
-out on the Toeplitz diagonals — exact (no circular wrap), lane-aligned, and
-entirely on the MXU. MACs/sample = ceil((L-1)/hop + 1)*hop ~= L + hop for
-L taps.
+`fft.matmul_backend.roundtrip_composed_blocked` (shared runtime:
+`hopblock_apply`): each output hop-block is one row of a
+[B, M*hop] x [M*hop, hop] matmul whose kernel is the taps laid out on the
+Toeplitz diagonals — exact (no circular wrap), lane-aligned, and entirely
+on the MXU. MACs/sample = ceil((L-1)/hop + 1)*hop ~= L + hop for L taps.
 
-Modes follow numpy.convolve: full (T+L-1), same (T, centered), valid
-(T-L+1).
+Modes follow numpy.convolve: full (T+L-1), same (max(T, L), centered),
+valid (max-min+1) — including the L > len(x) orientations.
+
+Matmul precision follows the module-wide default of
+`fft.matmul_backend.set_precision` (HIGHEST unless overridden), like every
+other MXU constant-bank op in the package.
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
 
-import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .fft.matmul_backend import hopblock_apply
 
 _HOP = 256  # lane-aligned output block (2 x 128)
 
@@ -38,7 +43,7 @@ def _toeplitz_kernel(taps_bytes: bytes, hop: int):
     j = s - tau + off
     inside = (j >= 0) & (j < ll)
     k[inside] = taps[j[inside]]
-    return np.ascontiguousarray(k.astype(np.float32)), mg
+    return np.ascontiguousarray(k.astype(np.float32))
 
 
 def convolve(
@@ -58,33 +63,16 @@ def convolve(
     x = jnp.asarray(x, jnp.float32)
     t = x.shape[-1]
     ll = taps64.size
-    if mode == "valid" and t < ll:
-        raise ValueError(f"valid mode needs len(x) >= len(taps), got {t} < {ll}")
     hop = _HOP
-    kern, mg = _toeplitz_kernel(taps64.tobytes(), hop)
+    kern = _toeplitz_kernel(taps64.tobytes(), hop)
     n_full = t + ll - 1
-    nb = -(-n_full // hop)
-    # Row b reads x_ext[b*hop : b*hop + mg*hop) with x_ext left-padded by
-    # (mg-1)*hop zeros (the Toeplitz halo) and right-padded to cover row
-    # nb-1.
-    left = (mg - 1) * hop
-    right = (nb - 1 + mg) * hop - left - t
-    x_ext = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((left, right),))
-    blocks = x_ext.reshape(x_ext.shape[:-1] + (-1, hop))
-    prec = jax.lax.Precision.HIGHEST if precision is None else precision
-    kj = jnp.asarray(kern)
-    acc = None
-    for m in range(mg):
-        term = jnp.dot(
-            blocks[..., m : m + nb, :],
-            kj[m * hop : (m + 1) * hop, :],
-            precision=prec,
-        )
-        acc = term if acc is None else acc + term
-    full = acc.reshape(acc.shape[:-2] + (nb * hop,))[..., :n_full]
+    # Left halo = the kernel's look-back span (mg-1 blocks).
+    left = kern.shape[0] - hop
+    full = hopblock_apply(x, kern, hop, n_full, left, precision)
     if mode == "full":
         return full
-    if mode == "same":
-        start = (ll - 1) // 2
-        return full[..., start : start + t]
-    return full[..., ll - 1 : t]  # valid: length T - L + 1
+    lo, hi = min(t, ll), max(t, ll)
+    if mode == "same":  # numpy: length max(T, L), centered
+        start = (lo - 1) // 2
+        return full[..., start : start + hi]
+    return full[..., lo - 1 : hi]  # valid: length max - min + 1

@@ -596,6 +596,37 @@ def _composed_block_kernel_grouped(
     return np.ascontiguousarray(kg.astype(np.float32))
 
 
+def hopblock_apply(
+    x: jnp.ndarray,  # [..., T] signal
+    kern_f32: np.ndarray,  # [M*block, block] Toeplitz-laid kernel
+    block: int,
+    n_out: int,
+    left: int,
+    precision=None,
+) -> jnp.ndarray:
+    """Shared hop-block Toeplitz matmul runtime: pad x with `left` zeros
+    (the kernel's look-back halo) plus enough right zeros, reshape to
+    [..., B, block], and accumulate the M shifted-view matmuls. Returns
+    [..., n_out]. Used by the blocked composed round-trip and by
+    `crlot_tpu.convolve`."""
+    mg = kern_f32.shape[0] // block
+    nb = -(-n_out // block)
+    right = (nb - 1 + mg) * block - left - x.shape[-1]
+    x_ext = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((left, right),))
+    blocks = x_ext.reshape(x_ext.shape[:-1] + (-1, block))
+    prec = _prec(precision)
+    kj = jnp.asarray(kern_f32)
+    acc = None
+    for m in range(mg):
+        term = jnp.dot(
+            blocks[..., m : m + nb, :],
+            kj[m * block : (m + 1) * block, :],
+            precision=prec,
+        )
+        acc = term if acc is None else acc + term
+    return acc.reshape(acc.shape[:-2] + (nb * block,))[..., :n_out]
+
+
 def roundtrip_composed_blocked(
     padded: jnp.ndarray,  # [..., T_pad] padded signal (frames fully inside)
     nfft: int,
@@ -639,27 +670,13 @@ def roundtrip_composed_blocked(
     mg = -(-kern.shape[0] // gh)  # matmul terms (7 at G=1, 4 at G=2, ...)
     if mg * gh != kern.shape[0]:
         kern = np.pad(kern, ((0, mg * gh - kern.shape[0]), (0, 0)))
-    nbg = -(-full // gh)  # output rows (groups of G hop-blocks)
     x = padded[..., :full].astype(jnp.float32)
-    # Extend so group row bg reads x[bg*G*hop - (R-1)*hop : ... + mg*G*hop)
-    # with zero halo on both sides.
-    left = (r_count - 1) * hop
-    right = (nbg - 1 + mg) * gh - x.shape[-1] - left
-    x_ext = jnp.pad(
-        x, ((0, 0),) * (x.ndim - 1) + ((left, right),)
+    # Group row bg reads x[bg*G*hop - (R-1)*hop : ... + mg*G*hop) with zero
+    # halo on both sides.
+    out = hopblock_apply(
+        x, kern, gh, full, (r_count - 1) * hop, precision
     )
-    blocks = x_ext.reshape(x_ext.shape[:-1] + (-1, gh))
     prec = _prec(precision)
-    kj = jnp.asarray(kern)
-    acc = None
-    for m in range(mg):
-        term = jnp.dot(
-            blocks[..., m : m + nbg, :],
-            kj[m * gh : (m + 1) * gh, :],
-            precision=prec,
-        )
-        acc = term if acc is None else acc + term
-    out = acc.reshape(acc.shape[:-2] + (nbg * gh,))[..., :full]
     # Exact edge patch: recompute the head/tail (R-1) blocks from the real
     # boundary frames (phantom-frame-free).
     edge = (r_count - 1) * hop

@@ -114,6 +114,15 @@ def round_trip(
     on_tpu = jax.default_backend() == "tpu"
     matmul_ok = cfg.fft_backend in (FftBackend.AUTO, FftBackend.MATMUL)
 
+    def norm_crop(acc, num_frames):
+        """Shared COLA-normalize + center-crop epilogue for an already
+        OLA-accumulated signal of length full."""
+        pad = cfg.frame_spec.pad_amount
+        full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
+        norm = jnp.asarray(_norm_np(cfg, num_frames, full))
+        out = acc / jnp.maximum(norm, cfg.eps)
+        return out[..., pad : pad + signal.shape[-1]]
+
     def ola_tail(out_frames, num_frames):
         """Shared overlap-add + COLA-normalize + center-crop epilogue."""
         pad = cfg.frame_spec.pad_amount
@@ -192,11 +201,7 @@ def round_trip(
                     precision=_fft.to_lax_precision(cfg.fft_precision),
                     group=2,
                 )
-                pad = spec_.pad_amount
-                full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
-                norm = jnp.asarray(_norm_np(cfg, num_frames, full))
-                out = acc / jnp.maximum(norm, cfg.eps)
-                return out[..., pad : pad + signal.shape[-1]]
+                return norm_crop(acc, num_frames)
             # Always the f32 composed path, regardless of tier: the int8
             # variant (int8_backend.roundtrip_composed_i8) loses SNR on
             # near-diagonal circulants and could dip below the 60 dB bar

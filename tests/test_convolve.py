@@ -52,8 +52,21 @@ def test_convolve_errors():
         convolve(x, np.ones(3), mode="reflect")
     with pytest.raises(ValueError):
         convolve(x, np.ones((2, 2)))
-    with pytest.raises(ValueError):
-        convolve(jnp.ones(4), np.ones(8), mode="valid")
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+@pytest.mark.parametrize("t,l", [(100, 255), (4, 8), (300, 513)])
+def test_convolve_taps_longer_than_signal(mode, t, l):
+    """numpy parity holds in the L > T orientation too (same returns
+    max(T, L) centered; valid returns max - min + 1)."""
+    rng = np.random.default_rng(l)
+    x = rng.uniform(-1, 1, t).astype(np.float32)
+    taps = rng.uniform(-1, 1, l).astype(np.float32)
+    got = np.asarray(convolve(jnp.asarray(x), taps, mode=mode))
+    want = _oracle(x, taps, mode)
+    assert got.shape == want.shape, f"{got.shape} vs {want.shape}"
+    err = np.sqrt(np.mean((got - want) ** 2))
+    assert err < 1e-5, f"mode={mode} T={t} L={l}: rmse {err}"
 
 
 def test_convolve_lowpass_attenuates():

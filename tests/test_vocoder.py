@@ -52,6 +52,19 @@ def test_stretch_rate_one_near_identity():
     assert snr > 60.0, snr
 
 
+def test_stretch_long_signal_phase_precision():
+    """The synthesis-phase carrier ramp is exact mod 2*pi (integer
+    arithmetic), so reconstruction must NOT degrade with signal length —
+    an f32 cumsum of the full unwrapped phase collapses to ~23 dB at 30 s
+    (the regression this guards)."""
+    x = _tone(9000.0, seconds=30.0)
+    y = np.asarray(time_stretch(x, _cfg(), 1.0))
+    n = min(len(x), len(y))
+    a, b = x[2048 : n - 2048], y[2048 : n - 2048]
+    snr = 10 * np.log10(np.sum(a**2) / np.sum((a - b) ** 2))
+    assert snr > 60.0, snr
+
+
 def test_stretch_multichannel():
     x = np.stack([_tone(440.0), _tone(880.0)])
     y = np.asarray(time_stretch(x, _cfg(), 1.5))
