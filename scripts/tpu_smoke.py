@@ -137,6 +137,29 @@ def main() -> int:
     check("spectral_complex_delay_composed", snr_d > 60.0,
           f"snr={snr_d:.1f}dB")
 
+    # 3f. Phase vocoder: complex64 stays inside one jit (eager complex ops
+    #     fail UNIMPLEMENTED on this backend); duration law + finite out.
+    t1 = np.arange(24000) / 48000.0
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t1)).astype(np.float32)
+    y_st = np.asarray(ct.time_stretch(jnp.asarray(tone), cfg, 1.5))
+    ok_st = (
+        np.isfinite(y_st).all()
+        and abs(y_st.shape[-1] / len(tone) - 1.5) < 0.05
+    )
+    check("vocoder_time_stretch", ok_st,
+          f"len_ratio={y_st.shape[-1] / len(tone):.3f}")
+
+    # 3g. Toeplitz-matmul convolution vs numpy on device.
+    taps = (np.hamming(255) / 127.0).astype(np.float32)
+    y_cv = np.asarray(
+        jax.jit(lambda s: ct.convolve(s, taps, mode="same"))(
+            jnp.asarray(tone)
+        )
+    )
+    want_cv = np.convolve(tone.astype(np.float64), taps, mode="same")
+    cv_err = float(np.sqrt(np.mean((y_cv - want_cv) ** 2)))
+    check("convolve_toeplitz_matmul", cv_err < 1e-5, f"rmse={cv_err:.2e}")
+
     # 3e. INT8X2 tier (double-rate MXU path, opt-in) still clears the gate.
     cfg_i8 = ct.StftConfig(
         frame_size=1024, hop_size=256, center=True,
