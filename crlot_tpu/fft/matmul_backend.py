@@ -609,6 +609,10 @@ def hopblock_apply(
     [..., B, block], and accumulate the M shifted-view matmuls. Returns
     [..., n_out]. Used by the blocked composed round-trip and by
     `crlot_tpu.convolve`."""
+    assert kern_f32.shape[0] % block == 0, (
+        f"kernel height {kern_f32.shape[0]} must be a multiple of the "
+        f"block size {block} (pad with zero rows)"
+    )
     mg = kern_f32.shape[0] // block
     nb = -(-n_out // block)
     right = (nb - 1 + mg) * block - left - x.shape[-1]

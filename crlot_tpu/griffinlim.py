@@ -25,6 +25,17 @@ import jax.numpy as jnp
 from .core.types import StftConfig
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def stft_magnitude(signal, cfg: StftConfig) -> jnp.ndarray:
+    """|STFT(x)| computed inside one jit: the safe way to obtain a
+    magnitude spectrogram on this stack — an eager `jnp.abs` on a device
+    complex64 array (and complex host readback) fails UNIMPLEMENTED on the
+    axon TPU backend (CLAUDE.md); here complex never escapes jit."""
+    from .pipeline import stft
+
+    return jnp.abs(stft(signal, cfg))
+
+
 @partial(jax.jit, static_argnames=("cfg", "iters", "length"))
 def _gl_impl(mag, cfg: StftConfig, iters: int, momentum: float,
              length, seed: int):
@@ -65,8 +76,9 @@ def griffin_lim(
     seed: int = 0,
 ) -> jnp.ndarray:
     """Reconstruct a real signal from a magnitude spectrogram
-    `[..., F, nfft//2+1]` (e.g. `jnp.abs(ct.stft(x, cfg))`). Returns
-    `[..., length]` (default: the exact span the frames cover)."""
+    `[..., F, nfft//2+1]` (obtain one with `stft_magnitude(x, cfg)` — an
+    eager abs on a device complex array fails on the axon TPU backend).
+    Returns `[..., length]` (default: the exact span the frames cover)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0.0 <= momentum < 1.0:

@@ -44,12 +44,13 @@ def _princarg(p: jnp.ndarray) -> jnp.ndarray:
     return p - 2.0 * jnp.pi * jnp.round(p / (2.0 * jnp.pi))
 
 
-@partial(jax.jit, static_argnames=("cfg_a", "cfg_s", "ha", "hs"))
-def _stretch_impl(signal, cfg_a: StftConfig, cfg_s: StftConfig,
-                  ha: int, hs: int):
+@partial(jax.jit, static_argnames=("cfg_a", "cfg_s"))
+def _stretch_impl(signal, cfg_a: StftConfig, cfg_s: StftConfig):
     from .pipeline import istft, stft
 
     n = cfg_a.frame_size
+    ha = cfg_a.hop_size
+    hs = cfg_s.hop_size
     spec = stft(signal, cfg_a)  # [..., F, K]
     mag = jnp.abs(spec)
     phase = jnp.angle(spec)
@@ -93,6 +94,14 @@ def time_stretch(
     """
     if rate <= 0:
         raise ValueError(f"rate must be positive, got {rate}")
+    if cfg.frame_size > 46340:
+        # The exact-mod carrier ramp reduces products to < N^2, which must
+        # stay below 2^31 for int32 (x64 is disabled); past that the ramp
+        # would silently wrap into garbage phase.
+        raise ValueError(
+            f"frame_size {cfg.frame_size} exceeds the 46340 limit of the "
+            "int32 exact-mod phase ramp"
+        )
     # Uncentered analysis: reflect padding (center=True) puts a TIME-REVERSED
     # copy of the signal in the first frames; their bogus instantaneous
     # frequencies enter the phase cumsum once and permanently de-cohere the
@@ -101,7 +110,7 @@ def time_stretch(
     ha = cfg_a.hop_size
     hs = max(1, int(round(rate * ha)))
     cfg_s = dataclasses.replace(cfg_a, hop_size=hs)
-    return _stretch_impl(jnp.asarray(signal), cfg_a, cfg_s, ha, hs)
+    return _stretch_impl(jnp.asarray(signal), cfg_a, cfg_s)
 
 
 def pitch_shift(

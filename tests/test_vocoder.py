@@ -56,13 +56,21 @@ def test_stretch_long_signal_phase_precision():
     """The synthesis-phase carrier ramp is exact mod 2*pi (integer
     arithmetic), so reconstruction must NOT degrade with signal length —
     an f32 cumsum of the full unwrapped phase collapses to ~23 dB at 30 s
-    (the regression this guards)."""
-    x = _tone(9000.0, seconds=30.0)
+    (the regression this guards). 440 Hz sits OFF the bin grid, so the
+    wrapped-deviation cumsum (the only f32 accumulation left) is actually
+    exercised; an on-bin tone would leave it ~zero."""
+    x = _tone(440.0, seconds=30.0)
     y = np.asarray(time_stretch(x, _cfg(), 1.0))
     n = min(len(x), len(y))
     a, b = x[2048 : n - 2048], y[2048 : n - 2048]
     snr = 10 * np.log10(np.sum(a**2) / np.sum((a - b) ** 2))
     assert snr > 60.0, snr
+
+
+def test_stretch_frame_size_limit():
+    with pytest.raises(ValueError):
+        time_stretch(np.zeros(65536 * 2, np.float32),
+                     StftConfig(frame_size=65536, hop_size=16384), 1.5)
 
 
 def test_stretch_multichannel():
