@@ -88,7 +88,10 @@ def _block_round_trip(
     )
     if per_bin is not None:
         # A fixed real per-bin gain composes with the DFT bases into one
-        # [N, N] matmul (pipeline.round_trip parity).
+        # [N, N] matmul. The offline pipeline's blocked Toeplitz form is
+        # NOT used here: it folds the OLA into the kernel, which would
+        # bypass the masked-frame + pre-seeded-tail protocol that makes
+        # N-device output bit-identical to 1 device.
         from ..fft.matmul_backend import roundtrip_composed_matmul
 
         out_frames = roundtrip_composed_matmul(

@@ -86,7 +86,10 @@ def streaming_round_trip_blocks(
     def step(carry_tail, frames):
         # frames: [block_frames, N]; round-trip per block. On the matmul
         # path this is the packed tiled formulation — or, with a fixed
-        # per-bin response, ONE composed [N, N] matmul — with no complex
+        # per-bin response, ONE composed [N, N] matmul (the offline
+        # pipeline's blocked Toeplitz form folds the OLA into the kernel,
+        # which conflicts with the scan's carried OLA tail — composed is
+        # the streaming-safe formulation) — with no complex
         # interleave (same lowerings as pipeline.round_trip's TPU path,
         # so chunked-stream output stays consistent with the offline one);
         # other cases go through rfft -> spectral_fn -> irfft.
