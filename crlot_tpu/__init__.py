@@ -32,7 +32,7 @@ from .window.windows import get_window
 from .resample.polyphase import resample, resample_chunked
 from .convolve import convolve
 from .griffinlim import griffin_lim, stft_magnitude
-from .psd import welch_freqs, welch_psd
+from .psd import coherence, welch_freqs, welch_psd
 from .streaming_pipeline import process_wav_file, streaming_round_trip
 from .vocoder import pitch_shift, time_stretch
 

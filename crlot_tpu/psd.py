@@ -62,3 +62,35 @@ def welch_psd(
 def welch_freqs(cfg: StftConfig, fs: float = 1.0) -> np.ndarray:
     """Bin center frequencies for `welch_psd` (host numpy)."""
     return np.fft.rfftfreq(cfg.frame_size, d=1.0 / fs)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _welch_spectra(x, y, cfg: StftConfig):
+    """Frame-averaged auto/auto/cross spectra (unnormalized)."""
+    import dataclasses
+
+    from .pipeline import stft
+
+    cfg_u = dataclasses.replace(cfg, center=False)
+    sx = stft(jnp.asarray(x), cfg_u)
+    sy = stft(jnp.asarray(y), cfg_u)
+    pxx = jnp.mean(jnp.square(sx.real) + jnp.square(sx.imag), axis=-2)
+    pyy = jnp.mean(jnp.square(sy.real) + jnp.square(sy.imag), axis=-2)
+    # conj(X) * Y, averaged over frames; returned as (re, im) real planes
+    # so no complex leaves the jit.
+    pxy_re = jnp.mean(sx.real * sy.real + sx.imag * sy.imag, axis=-2)
+    pxy_im = jnp.mean(sx.real * sy.imag - sx.imag * sy.real, axis=-2)
+    return pxx, pyy, pxy_re, pxy_im
+
+
+def coherence(
+    x: jnp.ndarray, y: jnp.ndarray, cfg: StftConfig, eps: float = 1e-30
+) -> jnp.ndarray:
+    """Magnitude-squared coherence Cxy = |Pxy|^2 / (Pxx * Pyy) of two
+    `[..., T]` signals -> `[..., nfft//2+1]` in [0, 1] (matches
+    scipy.signal.coherence with the same window/overlap, detrend=False).
+    Needs overlap (hop < frame_size): with a single averaged segment the
+    estimate degenerates to 1."""
+    pxx, pyy, pxy_re, pxy_im = _welch_spectra(x, y, cfg)
+    num = jnp.square(pxy_re) + jnp.square(pxy_im)
+    return num / jnp.maximum(pxx * pyy, eps)

@@ -50,6 +50,34 @@ def test_welch_batched():
     assert np.isfinite(p).all() and (p >= 0).all()
 
 
+def test_coherence_matches_scipy():
+    from crlot_tpu.psd import coherence
+
+    rng = np.random.default_rng(2)
+    n = 24000
+    x = rng.standard_normal(n).astype(np.float32)
+    # y = filtered x + independent noise: coherent at low freq only.
+    y = (np.convolve(x, np.ones(8) / 8.0, mode="same")
+         + 0.5 * rng.standard_normal(n)).astype(np.float32)
+    cfg = _cfg(1024, 512)
+    got = np.asarray(coherence(x, y, cfg))
+    _, want = scipy.signal.coherence(
+        x, y, window="hann", nperseg=1024, noverlap=512, detrend=False
+    )
+    rel = np.sqrt(np.mean((got - want) ** 2))
+    assert rel < 1e-4, f"coherence rmse {rel}"
+    assert (got >= 0).all() and (got <= 1.0 + 1e-5).all()
+
+
+def test_coherence_identical_signals_is_one():
+    from crlot_tpu.psd import coherence
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(24000).astype(np.float32)
+    c = np.asarray(coherence(x, x, _cfg(1024, 256)))
+    np.testing.assert_allclose(c, 1.0, atol=1e-4)
+
+
 def test_welch_validation():
     with pytest.raises(ValueError):
         welch_psd(np.zeros(4096, np.float32), _cfg(), scaling="db")
