@@ -76,6 +76,17 @@ def test_griffin_lim_batched():
     assert np.isfinite(y).all()
 
 
+def test_stft_magnitude_matches_abs_stft():
+    from crlot_tpu.griffinlim import stft_magnitude
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, (2, 8000)).astype(np.float32)
+    cfg = _cfg()
+    got = np.asarray(stft_magnitude(jnp.asarray(x), cfg))
+    want = np.abs(np.asarray(stft(jnp.asarray(x), cfg)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_griffin_lim_validation():
     cfg = _cfg()
     mag = jnp.ones((10, 513))
