@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,7 +31,9 @@ from .fft.matmul_backend import hopblock_apply
 _HOP = 256  # lane-aligned output block (2 x 128)
 
 
-@lru_cache(maxsize=None)
+# Bounded: each entry pins ~(L+hop)*hop f32 of host memory (~256x the taps),
+# so per-call dynamic filters in a long-lived process must evict.
+@lru_cache(maxsize=64)
 def _toeplitz_kernel(taps_bytes: bytes, hop: int):
     """[M*hop, hop] kernel: K[tau, s] = taps[s - tau + (M-1)*hop]."""
     taps = np.frombuffer(taps_bytes, dtype=np.float64)
@@ -57,6 +60,12 @@ def convolve(
     semantics for `mode` in {"full", "same", "valid"}."""
     if mode not in ("full", "same", "valid"):
         raise ValueError(f"unknown mode: {mode}")
+    if isinstance(taps, jax.core.Tracer):
+        raise TypeError(
+            "taps must be a concrete host array (the Toeplitz kernel is "
+            "built in numpy at call time); do not pass a traced value — "
+            "close over the taps or mark them static instead"
+        )
     taps64 = np.asarray(taps, np.float64)
     if taps64.ndim != 1 or taps64.size == 0:
         raise ValueError("taps must be a non-empty 1-D array")

@@ -43,7 +43,9 @@ def welch_psd(
     from .pipeline import _window_f64, stft
 
     cfg_u = dataclasses.replace(cfg, center=False)
-    spec = stft(jnp.asarray(signal), cfg_u)  # [..., F, K]
+    signal = jnp.asarray(signal)
+    _require_frames(cfg_u, signal.shape[-1])
+    spec = stft(signal, cfg_u)  # [..., F, K]
     p = jnp.mean(
         jnp.square(spec.real) + jnp.square(spec.imag), axis=-2
     )
@@ -53,10 +55,25 @@ def welch_psd(
     else:
         norm = 1.0 / float(np.sum(w)) ** 2
     p = p * norm
-    # One-sided doubling (DC and Nyquist appear once).
+    # One-sided doubling: DC appears once always; the last rfft bin is
+    # Nyquist (appears once) only for even frame_size — for odd sizes scipy
+    # doubles it too. StftConfig currently enforces even frame_size, but the
+    # scale is parity-aware so the scipy contract survives any relaxation.
     kk = cfg.frame_size // 2 + 1
-    scale = jnp.ones(kk, jnp.float32).at[1:-1].set(2.0)
+    last = kk if cfg.frame_size % 2 else kk - 1
+    scale = jnp.ones(kk, jnp.float32).at[1:last].set(2.0)
     return p * scale
+
+
+def _require_frames(cfg: StftConfig, signal_len: int) -> None:
+    """Welch needs >= 1 full segment; a zero-frame mean is silently NaN
+    (scipy adapts nperseg and warns instead — we fail loudly). Host-side
+    shape check, so it costs nothing inside jit."""
+    if cfg.frame_spec.num_frames(signal_len) == 0:
+        raise ValueError(
+            f"signal length {signal_len} yields zero Welch segments for "
+            f"frame_size={cfg.frame_size} (need >= frame_size samples)"
+        )
 
 
 def welch_freqs(cfg: StftConfig, fs: float = 1.0) -> np.ndarray:
@@ -72,8 +89,11 @@ def _welch_spectra(x, y, cfg: StftConfig):
     from .pipeline import stft
 
     cfg_u = dataclasses.replace(cfg, center=False)
-    sx = stft(jnp.asarray(x), cfg_u)
-    sy = stft(jnp.asarray(y), cfg_u)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    _require_frames(cfg_u, x.shape[-1])
+    _require_frames(cfg_u, y.shape[-1])
+    sx = stft(x, cfg_u)
+    sy = stft(y, cfg_u)
     pxx = jnp.mean(jnp.square(sx.real) + jnp.square(sx.imag), axis=-2)
     pyy = jnp.mean(jnp.square(sy.real) + jnp.square(sy.imag), axis=-2)
     # conj(X) * Y, averaged over frames; returned as (re, im) real planes

@@ -82,3 +82,21 @@ def test_convolve_lowpass_attenuates():
     mid = slice(2048, -2048)
     assert np.max(np.abs(y_lo[mid])) > 0.5
     assert np.max(np.abs(y_hi[mid])) < np.max(np.abs(y_lo[mid])) * 1e-3
+
+
+def test_convolve_rejects_traced_taps():
+    """Traced taps fail with a clear TypeError, not an opaque numpy
+    conversion error inside the kernel builder (ADVICE r1)."""
+    import jax
+
+    def f(taps):
+        return convolve(jnp.ones(64), taps)
+
+    with pytest.raises(TypeError, match="concrete host array"):
+        jax.jit(f)(jnp.ones(8))
+
+
+def test_toeplitz_kernel_cache_bounded():
+    from crlot_tpu.convolve import _toeplitz_kernel
+
+    assert _toeplitz_kernel.cache_parameters()["maxsize"] == 64

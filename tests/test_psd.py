@@ -81,3 +81,17 @@ def test_coherence_identical_signals_is_one():
 def test_welch_validation():
     with pytest.raises(ValueError):
         welch_psd(np.zeros(4096, np.float32), _cfg(), scaling="db")
+
+
+def test_welch_too_short_signal_raises():
+    """< one segment: loud ValueError, not a silent NaN PSD (ADVICE r1)."""
+    with pytest.raises(ValueError, match="zero Welch segments"):
+        welch_psd(np.zeros(512, np.float32), _cfg(1024, 256))
+
+
+def test_coherence_too_short_signal_raises():
+    from crlot_tpu.psd import coherence
+
+    with pytest.raises(ValueError, match="zero Welch segments"):
+        coherence(np.zeros(100, np.float32), np.zeros(100, np.float32),
+                  _cfg(1024, 256))
