@@ -29,8 +29,13 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """jax.distributed.initialize wrapper (no-op if already initialized or
-    single-process with no coordinator configured)."""
-    if jax.process_count() > 1:
+    single-process with no coordinator configured).
+
+    Must run before ANY backend-initializing jax call (jax.devices(),
+    device_put, any computation) — so the check here uses
+    jax.distributed.is_initialized(), NOT jax.process_count(), which would
+    itself initialize the backend and make the real initialize() throw."""
+    if jax.distributed.is_initialized():
         return  # already initialized
     if coordinator_address is None:
         return  # single-host run

@@ -1,0 +1,74 @@
+"""Child process for the 2-process jax.distributed CPU test.
+
+Each process hosts 4 virtual CPU devices (8 global), initializes the
+distributed runtime against a localhost coordinator, builds the DCN-aware
+(channel, time) global mesh from `crlot_tpu.distributed.multihost`, and runs
+`sharded_round_trip` on a signal every process constructs identically. The
+gathered global result must be BIT-identical to the unsharded single-device
+pipeline — the same gate the single-process 8-device tests assert, now with a
+real process boundary (DCN seam) in the middle of the time axis.
+
+Usage: python tests/multihost_child.py <process_id> <num_processes> <port>
+Prints "MULTIHOST_OK <snr>" on success.
+"""
+
+import os
+import sys
+
+# Must be set before jax import; override whatever the parent had.
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from crlot_tpu.distributed import multihost
+
+    multihost.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    info = multihost.process_info()
+    assert info["process_count"] == nproc, info
+    assert info["global_devices"] == 4 * nproc, info
+    assert info["local_devices"] == 4, info
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.distributed.sharded_pipeline import sharded_round_trip
+    from crlot_tpu.metrics import snr_db
+    from crlot_tpu.pipeline import round_trip
+
+    # channel=2 over 8 global devices -> time axis of 4 spans the process
+    # boundary: devices {p0.0, p0.1} | {p1.0, p1.1} per channel row, so the
+    # halo ppermute between time blocks 1 and 2 crosses DCN.
+    mesh = multihost.global_mesh(channel=2)
+    cfg = StftConfig(frame_size=128, hop_size=32, center=False)
+    rng = np.random.default_rng(0)  # identical on every process
+    x = rng.uniform(-1, 1, (2, 8192)).astype(np.float32)
+
+    y = sharded_round_trip(jnp.asarray(x), cfg, mesh)
+    y_np = multihost_utils.process_allgather(y, tiled=True)
+
+    # Unsharded reference on this process's local device.
+    want = np.asarray(round_trip(jnp.asarray(x), cfg))
+    np.testing.assert_array_equal(np.asarray(y_np), want)
+
+    covered = (cfg.frame_spec.num_frames(8192) - 1) * 32 + 128
+    snr = snr_db(x[:, 128:covered - 128], np.asarray(y_np)[:, 128:covered - 128])
+    assert snr > 80, snr
+    print(f"MULTIHOST_OK {snr:.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
