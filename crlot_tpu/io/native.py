@@ -65,8 +65,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         p8 = ctypes.POINTER(ctypes.c_uint8)
         pf = ctypes.POINTER(ctypes.c_float)
         lib.crlot_native_abi_version.restype = c
-        if lib.crlot_native_abi_version() != 1:
-            return None
+        if lib.crlot_native_abi_version() != 2:
+            # Stale binary for this source: rebuild once, then give up.
+            if not _build():
+                return None
+            lib = ctypes.CDLL(_LIB)
+            lib.crlot_native_abi_version.restype = c
+            if lib.crlot_native_abi_version() != 2:
+                return None
         lib.crlot_wav_info.argtypes = [p8, u64] + [ctypes.POINTER(c)] * 4 + [
             ctypes.POINTER(i64)
         ]
@@ -80,13 +86,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.crlot_wav_encode.restype = c
         lib.crlot_ring_create.argtypes = [i64, c]
         lib.crlot_ring_create.restype = ctypes.c_void_p
+        lib.crlot_ring_create_typed.argtypes = [i64, c, i64]
+        lib.crlot_ring_create_typed.restype = ctypes.c_void_p
+        lib.crlot_ring_elem_size.argtypes = [ctypes.c_void_p]
+        lib.crlot_ring_elem_size.restype = i64
         lib.crlot_ring_destroy.argtypes = [ctypes.c_void_p]
         pi64 = ctypes.POINTER(i64)
         lib.crlot_ring_split.argtypes = [ctypes.c_void_p, i64, i64,
                                          pi64, pi64, pi64, pi64]
         lib.crlot_ring_split.restype = c
-        lib.crlot_ring_write.argtypes = [ctypes.c_void_p, i64, pf, i64]
-        lib.crlot_ring_read.argtypes = [ctypes.c_void_p, i64, pf, i64]
+        lib.crlot_ring_write.argtypes = [ctypes.c_void_p, i64,
+                                         ctypes.c_void_p, i64]
+        lib.crlot_ring_read.argtypes = [ctypes.c_void_p, i64,
+                                        ctypes.c_void_p, i64]
         lib.crlot_ring_capacity.argtypes = [ctypes.c_void_p]
         lib.crlot_ring_capacity.restype = i64
         lib.crlot_framer_create.argtypes = [i64, i64, i64, c]
@@ -181,6 +193,64 @@ def write_wav_native(
     if rc != 0:
         raise WavFormatError(f"{path}: {_ERRORS.get(rc, rc)}")
     out[: out_len.value].tofile(path)
+
+
+class NativeRing:
+    """Dtype-generic native ring buffer (reference: dsp/ring/ring_buffer.cc,
+    instantiated for float/double/int16/int32/uint16/uint32 at :207-213).
+
+    Wrap-around write/contiguous read over a fixed capacity, with an optional
+    2x shadow mirror so reads never wrap (the reference's TPU-friendly
+    layout). Element type is fixed at construction via numpy dtype.
+    """
+
+    DTYPES = ("float32", "float64", "int16", "int32", "uint16", "uint32")
+
+    def __init__(self, capacity: int, dtype="float32",
+                 shadow: bool = False) -> None:
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        dt = np.dtype(dtype)
+        if dt.name not in self.DTYPES:
+            raise ValueError(f"unsupported ring dtype {dt.name}; "
+                             f"one of {self.DTYPES}")
+        if capacity <= 0:
+            raise ValueError(f"capacity must be > 0, got {capacity}")
+        self._lib = lib
+        self.dtype = dt
+        self.capacity = capacity
+        self._h = lib.crlot_ring_create_typed(
+            capacity, 1 if shadow else 0, dt.itemsize
+        )
+        if not self._h:
+            raise RuntimeError("ring creation failed")
+
+    def write(self, start: int, src: np.ndarray) -> None:
+        data = np.ascontiguousarray(src, dtype=self.dtype).reshape(-1)
+        self._lib.crlot_ring_write(
+            self._h, start, data.ctypes.data_as(ctypes.c_void_p), data.size
+        )
+
+    def read(self, start: int, n: int) -> np.ndarray:
+        out = np.empty(min(n, self.capacity), dtype=self.dtype)
+        self._lib.crlot_ring_read(
+            self._h, start, out.ctypes.data_as(ctypes.c_void_p), out.size
+        )
+        return out
+
+    def split(self, start: int, n: int):
+        """(off0, len0, off1, len1) span view arithmetic (ring_buffer.cc:43-85)."""
+        o0, l0 = ctypes.c_int64(), ctypes.c_int64()
+        o1, l1 = ctypes.c_int64(), ctypes.c_int64()
+        self._lib.crlot_ring_split(self._h, start, n, o0, l0, o1, l1)
+        return o0.value, l0.value, o1.value, l1.value
+
+    def __del__(self) -> None:
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.crlot_ring_destroy(h)
+            self._h = None
 
 
 class NativeFramer:

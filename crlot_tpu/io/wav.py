@@ -138,6 +138,15 @@ def write_wav(
             raise WavFormatError(f"unsupported bit depth {bits}")
         tag = _FMT_PCM
         scale = _full_scale(bits)
+        n_clipped = int(np.count_nonzero(np.abs(interleaved) > 1.0))
+        if n_clipped:
+            # Reference writer clamps silently (io/wav.cc:233-247); we keep
+            # the clamp but leave a breadcrumb for long streaming jobs.
+            logger.warning(
+                "write %s: clipping %d/%d samples (peak %.3f) to [-1, 1]",
+                path, n_clipped, interleaved.size,
+                float(np.max(np.abs(interleaved))),
+            )
         q = np.rint(np.clip(interleaved, -1.0, 1.0) * scale)
         if bits == 16:
             payload = q.astype("<i2").tobytes()

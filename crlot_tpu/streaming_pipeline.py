@@ -13,12 +13,15 @@ multi-chip, shard the scan's frame batches by channel (distributed module).
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("crlot_tpu.streaming")
 
 from .core.types import StftConfig
 from .fft import dispatch as _fft
@@ -218,6 +221,12 @@ def process_wav_file(
     reader = WavReader(infile)
     channels = reader.channels
     total = reader.num_frames
+    logger.info(
+        "stream %s -> %s: %d ch, %d frames @ %d Hz, N=%d H=%d, "
+        "chunk=%d frames",
+        infile, outfile, channels, total, reader.sample_rate, n, hop,
+        chunk_frames,
+    )
     with WavWriter(
         outfile, channels, reader.sample_rate, bits=bits
     ) as writer:
@@ -247,4 +256,8 @@ def process_wav_file(
             writer.write(chunk)
             written += chunk.shape[-1]
             pos += chunk_out
+            logger.debug(
+                "stream %s: %d/%d samples written", outfile, written, total
+            )
+    logger.info("stream %s done: %d samples/channel written", outfile, written)
     return written

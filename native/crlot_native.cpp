@@ -216,20 +216,40 @@ CRLOT_API int crlot_wav_encode(const float* data, int64_t frames,
 }
 
 // --------------------------------------------------------------- RingBuffer
+//
+// Dtype-generic: the reference instantiates RingBuffer<T> for float/double/
+// int16/int32/uint16/uint32 (ring_buffer.cc:207-213). The split arithmetic is
+// type-free; write/read/shadow-sync only need the element size, so the ring
+// stores raw bytes plus an elem_size and the C ABI stays a single set of
+// void* entry points (crlot_ring_create_typed picks the width).
 
 struct CrlotRing {
-  std::vector<float> buf;  // capacity (or 2x capacity in shadow mode)
-  int64_t capacity = 0;
+  std::vector<uint8_t> buf;  // capacity*elem (or 2x in shadow mode)
+  int64_t capacity = 0;      // in elements
+  int64_t elem = 4;          // element size in bytes
   bool shadow = false;
 };
 
-CRLOT_API void* crlot_ring_create(int64_t capacity, int32_t shadow) {
+CRLOT_API void* crlot_ring_create_typed(int64_t capacity, int32_t shadow,
+                                        int64_t elem_size) {
   if (capacity <= 0) return nullptr;
+  if (elem_size != 1 && elem_size != 2 && elem_size != 4 && elem_size != 8)
+    return nullptr;
   auto* r = new CrlotRing();
   r->capacity = capacity;
+  r->elem = elem_size;
   r->shadow = shadow != 0;
-  r->buf.assign(shadow ? 2 * capacity : capacity, 0.0f);
+  r->buf.assign((shadow ? 2 * capacity : capacity) * elem_size, 0);
   return r;
+}
+
+// f32 ring (the pipeline's type); kept as the short-hand entry point.
+CRLOT_API void* crlot_ring_create(int64_t capacity, int32_t shadow) {
+  return crlot_ring_create_typed(capacity, shadow, 4);
+}
+
+CRLOT_API int64_t crlot_ring_elem_size(void* h) {
+  return static_cast<CrlotRing*>(h)->elem;
 }
 
 CRLOT_API void crlot_ring_destroy(void* h) { delete static_cast<CrlotRing*>(h); }
@@ -251,31 +271,34 @@ CRLOT_API int crlot_ring_split(void* h, int64_t start, int64_t len,
   return 2;
 }
 
-// write n samples at start (wrapping); keeps the shadow mirror in sync.
-CRLOT_API void crlot_ring_write(void* h, int64_t start, const float* src,
+// write n elements at start (wrapping); keeps the shadow mirror in sync.
+CRLOT_API void crlot_ring_write(void* h, int64_t start, const void* src,
                                 int64_t n) {
   auto* r = static_cast<CrlotRing*>(h);
+  const int64_t e = r->elem;
+  const uint8_t* s = static_cast<const uint8_t*>(src);
   int64_t o0, l0, o1, l1;
   crlot_ring_split(h, start, n, &o0, &l0, &o1, &l1);
-  std::memcpy(r->buf.data() + o0, src, l0 * sizeof(float));
-  if (l1 > 0) std::memcpy(r->buf.data() + o1, src + l0, l1 * sizeof(float));
+  std::memcpy(r->buf.data() + o0 * e, s, l0 * e);
+  if (l1 > 0) std::memcpy(r->buf.data() + o1 * e, s + l0 * e, l1 * e);
   if (r->shadow) {
     // Mirror [0, capacity) into [capacity, 2*capacity).
-    std::memcpy(r->buf.data() + r->capacity + o0, src, l0 * sizeof(float));
+    std::memcpy(r->buf.data() + (r->capacity + o0) * e, s, l0 * e);
     if (l1 > 0)
-      std::memcpy(r->buf.data() + r->capacity + o1, src + l0,
-                  l1 * sizeof(float));
+      std::memcpy(r->buf.data() + (r->capacity + o1) * e, s + l0 * e, l1 * e);
   }
 }
 
-// contiguous read of n samples from start (uses the shadow to avoid copies
+// contiguous read of n elements from start (uses the shadow to avoid copies
 // when possible; always emits a contiguous result into out).
-CRLOT_API void crlot_ring_read(void* h, int64_t start, float* out, int64_t n) {
+CRLOT_API void crlot_ring_read(void* h, int64_t start, void* out, int64_t n) {
   auto* r = static_cast<CrlotRing*>(h);
+  const int64_t e = r->elem;
+  uint8_t* d = static_cast<uint8_t*>(out);
   int64_t o0, l0, o1, l1;
   crlot_ring_split(h, start, n, &o0, &l0, &o1, &l1);
-  std::memcpy(out, r->buf.data() + o0, l0 * sizeof(float));
-  if (l1 > 0) std::memcpy(out + l0, r->buf.data() + o1, l1 * sizeof(float));
+  std::memcpy(d, r->buf.data() + o0 * e, l0 * e);
+  if (l1 > 0) std::memcpy(d + l0 * e, r->buf.data() + o1 * e, l1 * e);
 }
 
 CRLOT_API int64_t crlot_ring_capacity(void* h) {
@@ -374,4 +397,4 @@ CRLOT_API void crlot_framer_reset(void* h) {
   std::fill(f->buf.begin(), f->buf.end(), 0.0f);
 }
 
-CRLOT_API int32_t crlot_native_abi_version() { return 1; }
+CRLOT_API int32_t crlot_native_abi_version() { return 2; }

@@ -184,3 +184,37 @@ def test_native_wav_fuzz(tmp_path):
             continue
         assert np.isfinite(np.asarray(data)).all(), f"case {i}"
         assert sr > 0, f"case {i}"
+
+
+@pytest.mark.parametrize(
+    "dtype", ["float32", "float64", "int16", "int32", "uint16", "uint32"]
+)
+def test_native_ring_dtype_generic(dtype):
+    """Reference instantiates RingBuffer<T> for six element types
+    (ring_buffer.cc:207-213); the native ring carries the same contract."""
+    from crlot_tpu.io.native import NativeRing
+
+    rng = np.random.default_rng(7)
+    for shadow in (False, True):
+        ring = NativeRing(12, dtype=dtype, shadow=shadow)
+        info = np.iinfo(dtype) if np.issubdtype(np.dtype(dtype), np.integer) \
+            else None
+        raw = rng.integers(info.min, info.max, 9) if info else \
+            rng.uniform(-1, 1, 9)
+        data = np.asarray(raw, dtype=dtype)
+        ring.write(10, data)  # wraps: 2 at [10,12), 7 at [0,7)
+        got = ring.read(10, 9)
+        np.testing.assert_array_equal(got, data)
+        assert got.dtype == np.dtype(dtype)
+        # second write elsewhere must not disturb the wrapped region
+        ring.write(7, data[:3])
+        np.testing.assert_array_equal(ring.read(10, 9), data)
+
+
+def test_native_ring_rejects_bad_dtype():
+    from crlot_tpu.io.native import NativeRing
+
+    with pytest.raises(ValueError):
+        NativeRing(8, dtype="complex64")
+    with pytest.raises(ValueError):
+        NativeRing(0)
