@@ -50,17 +50,40 @@ def bench_fft(results: Dict[str, float]) -> None:
 
 
 def bench_kernels(results: Dict[str, float]) -> None:
+    """Size sweep n=16..32768 (+1M) mirroring the reference's cache-tier
+    sweep (bench/kernels_benchmark.cc:259-281). On TPU the interesting
+    boundary is not cache tiers but the pallas_call + pad-to-8x128 overhead
+    vs the XLA-fused jnp form at sub-tile sizes: both variants are timed so
+    the crossover feeding kernels.pallas_min_n() stays measured."""
     from ..ola import kernels as K
 
     rng = np.random.default_rng(1)
-    for n in (1024, 32768, 1 << 20):
+    for n in (16, 64, 256, 1024, 4096, 16384, 32768, 1 << 20):
         dst = rng.uniform(-1, 1, n).astype(np.float32)
         src = rng.uniform(-1, 1, n).astype(np.float32)
         win = rng.uniform(0, 1, n).astype(np.float32)
-        ns = _time(lambda d: K.axpy_windowed(d, src, win, 1.5), dst) * 1e9 / n
-        results[f"kernel_axpy_windowed_n{n}_ns_per_elem"] = round(ns, 4)
-        ns = _time(lambda d: K.normalize_and_clear(d, win)[0], dst) * 1e9 / n
-        results[f"kernel_normalize_n{n}_ns_per_elem"] = round(ns, 4)
+        # Small ops need long chains: sub-us bodies drown in per-call jitter
+        # at the default k (CLAUDE.md: sub-0.1 ms stages need k_big ~40+).
+        k_small, k_big = (40, 200) if n <= 32768 else (2, 12)
+        for label, force in (("", None), ("_pallas", True), ("_jnp", False)):
+            if label == "" and n not in (1024, 32768, 1 << 20):
+                continue  # auto-dispatch rows only at the legacy sizes
+            if label == "_pallas" and jax.default_backend() != "tpu":
+                continue  # interpreted Pallas off-TPU is not a perf datum
+            ns = _time(
+                lambda d, f=force: K.axpy_windowed(d, src, win, 1.5,
+                                                   use_pallas=f),
+                dst, k_small=k_small, k_big=k_big,
+            ) * 1e9 / n
+            results[f"kernel_axpy_windowed{label}_n{n}_ns_per_elem"] = round(
+                ns, 4
+            )
+            ns = _time(
+                lambda d, f=force: K.normalize_and_clear(d, win,
+                                                         use_pallas=f)[0],
+                dst, k_small=k_small, k_big=k_big,
+            ) * 1e9 / n
+            results[f"kernel_normalize{label}_n{n}_ns_per_elem"] = round(ns, 4)
 
 
 def bench_ola(results: Dict[str, float]) -> None:
@@ -214,13 +237,124 @@ def bench_resample(results: Dict[str, float]) -> None:
     results["resample_chain_msamples_per_s"] = round(len(x) / sec / 1e6, 1)
     results["resample_chain_out_len"] = int(np.asarray(y).shape[-1])
 
+    # BASELINE config 3 "fused with framing": resample(44.1k->48k) -> frame
+    # -> window -> rFFT in ONE jit, vs the same ops as two dispatches.
+    from ..core.types import StftConfig
+    from ..pipeline import resampled_stft, stft
+
+    cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
+
+    def fused(v):
+        s = resampled_stft(v, 44100, 48000, cfg)
+        return jnp.abs(s)  # complex64 must not cross the tunnel
+
+    def unfused(v):
+        w = jax.jit(resample, static_argnums=(1, 2))(v, 44100, 48000)
+        return jnp.abs(jax.jit(stft, static_argnums=(1,))(w, cfg))
+
+    jax.jit(fused)(x).block_until_ready()
+    sec = _time(fused, x)
+    results["resample_stft_fused_4s_ms"] = round(sec * 1e3, 3)
+    results["resample_stft_fused_msamples_per_s"] = round(
+        len(x) / sec / 1e6, 1
+    )
+    t0 = time.time()  # unfused = 2 dispatches; wall-clock captures the seam
+    for _ in range(8):
+        unfused(x).block_until_ready()
+    results["resample_stft_unfused_wall_ms"] = round(
+        (time.time() - t0) / 8 * 1e3, 3
+    )
+
+
+def bench_streaming(results: Dict[str, float]) -> None:
+    """BASELINE config 5's single-chip analog: sustained long-stream
+    round-trip (>= 10 minutes of 48 kHz audio in one run, chunked through
+    the lax.scan pipeline with the OLA tail carried across chunks) plus a
+    MID-STREAM checkpoint/restore whose continuation must be bit-identical.
+    Reported as sustained samples/s over wall clock (includes host framing
+    and transfers — the honest end-to-end figure, unlike the chained
+    device-only numbers elsewhere in this suite).
+    """
+    from ..core.types import StftConfig
+    from ..metrics import snr_db
+    from ..streaming_pipeline import streaming_round_trip_blocks
+
+    sr = 48000
+    minutes = float(os.environ.get("CRLOT_BENCH_STREAM_MIN", "10"))
+    cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
+    n, hop = cfg.frame_size, cfg.hop_size
+    block_frames, blocks_per_chunk = 64, 32
+    chunk_frames = block_frames * blocks_per_chunk
+    chunk_samples = chunk_frames * hop  # 524288
+    n_chunks = max(int(minutes * 60 * sr) // chunk_samples, 2)
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-0.9, 0.9, n_chunks * chunk_samples + (n - hop)).astype(
+        np.float32
+    )
+    idx = np.arange(chunk_frames)[:, None] * hop + np.arange(n)[None, :]
+
+    def run_chunk(k, tail):
+        frames = jnp.asarray(
+            x[k * chunk_samples + idx].reshape(blocks_per_chunk, block_frames, n)
+        )
+        return streaming_round_trip_blocks(
+            frames, cfg, block_frames, None, carry_tail=tail,
+            return_carry=True,
+        )
+
+    out0, tail0 = run_chunk(0, None)  # compile + warm (tail-less trace)
+    out0.block_until_ready()
+    out0, _ = run_chunk(0, tail0)  # warm the carried-tail trace too
+    out0.block_until_ready()
+
+    half = n_chunks // 2
+    t0 = time.time()
+    tail = None
+    mid_tail = None
+    for k in range(n_chunks):
+        out, tail = run_chunk(k, tail)
+        if k == half - 1:
+            mid_tail = np.asarray(tail)  # snapshot for the restore check
+    out.block_until_ready()
+    wall = time.time() - t0
+    total = n_chunks * chunk_samples
+    results["stream_minutes_audio"] = round(total / sr / 60, 1)
+    results["stream_sustained_gsamples_per_s"] = round(total / wall / 1e9, 4)
+    results["stream_wall_s"] = round(wall, 2)
+
+    # Mid-stream checkpoint: save/load the carry, continue one chunk, and
+    # require the continuation to be bit-identical to the unbroken stream.
+    import tempfile
+
+    t0 = time.time()
+    with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
+        ckpt = f.name
+    np.savez(ckpt, tail=mid_tail, next_chunk=half)
+    results["stream_ckpt_save_ms"] = round((time.time() - t0) * 1e3, 3)
+    t0 = time.time()
+    with np.load(ckpt) as z:
+        tail_r, k_r = jnp.asarray(z["tail"]), int(z["next_chunk"])
+    results["stream_ckpt_restore_ms"] = round((time.time() - t0) * 1e3, 3)
+    os.unlink(ckpt)
+    want, _ = run_chunk(half, jnp.asarray(mid_tail))
+    got, _ = run_chunk(k_r, tail_r)
+    bitexact = bool((np.asarray(got) == np.asarray(want)).all())
+    results["stream_ckpt_resume_bitexact"] = int(bitexact)
+    assert bitexact, "checkpoint resume diverged"
+
+    # Correctness gate on the final chunk's steady-state interior.
+    y = np.asarray(out)[hop : -(n - hop)]
+    ref = x[(n_chunks - 1) * chunk_samples + hop :][: len(y)]
+    results["stream_tail_chunk_snr_db"] = round(snr_db(ref, y), 1)
+
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument(
         "--suites",
-        default="fft,kernels,ola,e2e,spectral,multichannel,sweep,resample,convolve",
+        default="fft,kernels,ola,e2e,spectral,multichannel,sweep,resample,"
+                "convolve,streaming",
         help="comma-separated subset",
     )
     args = ap.parse_args(argv)
@@ -240,6 +374,7 @@ def main(argv=None) -> None:
         ("sweep", bench_sweep),
         ("resample", bench_resample),
         ("convolve", bench_convolve),
+        ("streaming", bench_streaming),
     ):
         if name not in suites:
             continue

@@ -18,8 +18,9 @@ AVX2/NEON lane counts.
 
 from __future__ import annotations
 
+import os
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,11 +35,32 @@ _LANES = 128
 _SUBLANES = 8
 _TILE_ROWS = 256  # rows of 128 lanes per grid step (128 KiB fp32 per operand)
 
+# Size-aware dispatch boundary (reference analog: runtime SIMD dispatch,
+# kernels.cc:42-52): below this element count the pad-to-8x128 + pallas_call
+# overhead exceeds the cost of the XLA-fused jnp form, so the wrappers route
+# small arrays to the jnp oracle. Boundary measured on v5e by
+# bench_kernels' n=16..32768 sweep (suite.py); override with
+# CRLOT_PALLAS_MIN_N. Off-TPU (interpret mode) Pallas is always slower, so
+# auto-dispatch never picks it there.
+_MIN_PALLAS_N = int(os.environ.get("CRLOT_PALLAS_MIN_N", "32768"))
+
+
+def pallas_min_n() -> int:
+    return _MIN_PALLAS_N
+
 
 def _use_interpret() -> bool:
     """Pallas TPU kernels run compiled on TPU, interpreted elsewhere (CPU
     tests). Mirrors the reference's runtime dispatch idea."""
     return jax.default_backend() != "tpu"
+
+
+def _dispatch_pallas(n: int, use_pallas: Optional[bool]) -> bool:
+    """Resolve the use_pallas tri-state: explicit True/False wins; None picks
+    Pallas only on TPU at sizes past the measured crossover."""
+    if use_pallas is not None:
+        return use_pallas
+    return jax.default_backend() == "tpu" and n >= _MIN_PALLAS_N
 
 
 def _pad_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
@@ -91,14 +113,19 @@ def _axpy_pallas(dst, src, gain, interpret):
     return out.reshape(-1)[:n]
 
 
-def axpy(dst: jnp.ndarray, src: jnp.ndarray, gain=1.0) -> jnp.ndarray:
-    """Returns dst + src*gain (functional form of the in-place reference)."""
+def axpy(dst: jnp.ndarray, src: jnp.ndarray, gain=1.0,
+         use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """Returns dst + src*gain (functional form of the in-place reference).
+
+    use_pallas: None = size/backend auto-dispatch, True/False forces."""
     dst = jnp.asarray(dst, dtype=jnp.float32)
     src = jnp.asarray(src, dtype=jnp.float32)
     if dst.shape != src.shape:
         raise ValueError(f"shape mismatch {dst.shape} vs {src.shape}")
     if dst.size == 0:
         return dst
+    if not _dispatch_pallas(dst.size, use_pallas):
+        return axpy_reference(dst, src, gain)
     return _axpy_pallas(dst, src, gain, _use_interpret())
 
 
@@ -133,7 +160,8 @@ def _axpy_windowed_pallas(dst, src, win, gain, interpret):
     return out.reshape(-1)[:n]
 
 
-def axpy_windowed(dst, src, win, gain=1.0) -> jnp.ndarray:
+def axpy_windowed(dst, src, win, gain=1.0,
+                  use_pallas: Optional[bool] = None) -> jnp.ndarray:
     dst = jnp.asarray(dst, dtype=jnp.float32)
     src = jnp.asarray(src, dtype=jnp.float32)
     win = jnp.asarray(win, dtype=jnp.float32)
@@ -143,6 +171,8 @@ def axpy_windowed(dst, src, win, gain=1.0) -> jnp.ndarray:
         )
     if dst.size == 0:
         return dst
+    if not _dispatch_pallas(dst.size, use_pallas):
+        return axpy_windowed_reference(dst, src, win, gain)
     return _axpy_windowed_pallas(dst, src, win, gain, _use_interpret())
 
 
@@ -181,7 +211,8 @@ def _normalize_pallas(acc, norm, eps, interpret):
     return out.reshape(-1)[:n], cleared.reshape(-1)[:n]
 
 
-def normalize_and_clear(acc, norm, eps=1e-8):
+def normalize_and_clear(acc, norm, eps=1e-8,
+                        use_pallas: Optional[bool] = None):
     """Returns (out, cleared_acc): the fused divide-and-zero drain pass that
     lets the OLA ring be reused (reference: kernels.cc:30-36)."""
     acc = jnp.asarray(acc, dtype=jnp.float32)
@@ -190,6 +221,8 @@ def normalize_and_clear(acc, norm, eps=1e-8):
         raise ValueError(f"shape mismatch {acc.shape} vs {norm.shape}")
     if acc.size == 0:
         return acc, acc
+    if not _dispatch_pallas(acc.size, use_pallas):
+        return normalize_and_clear_reference(acc, norm, eps)
     return _normalize_pallas(acc, norm, eps, _use_interpret())
 
 
@@ -204,6 +237,7 @@ def kernel_dispatch_info() -> Dict[str, object]:
         "platform": dev.platform,
         "pallas_compiled": not _use_interpret(),
         "vpu_tile": (_SUBLANES, _LANES),
+        "min_pallas_n": _MIN_PALLAS_N,
         "num_devices": len(jax.devices()),
     }
 

@@ -14,9 +14,10 @@ when a synthesis window is configured). The reference's double-window bug
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +57,34 @@ def stft(signal: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
         frames, cfg.frame_size, _window_f64(cfg), backend=cfg.fft_backend,
         precision=_fft.to_lax_precision(cfg.fft_precision),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sr_in", "sr_out", "cfg", "taps_per_phase", "atten_db"),
+)
+def resampled_stft(
+    signal: jnp.ndarray,
+    sr_in: int,
+    sr_out: int,
+    cfg: StftConfig,
+    taps_per_phase: Optional[int] = None,
+    atten_db: float = 120.0,
+) -> jnp.ndarray:
+    """Polyphase resample -> frame -> window -> rFFT as ONE jitted program.
+
+    BASELINE.json config 3's "fused with framing (replaces r8brain)": the
+    reference streams r8brain chunks through a host loop and only then frames
+    (main/main.cc:257-287); here the strided-conv resampler and the framed
+    DFT compile into a single XLA program, so the resampled intermediate
+    never round-trips through HBM-to-host and the frame gather fuses onto
+    the conv output. Returns the `[..., F, nfft//2+1]` spectrogram at the
+    OUTPUT rate sr_out.
+    """
+    from .resample.polyphase import resample
+
+    y = resample(jnp.asarray(signal), sr_in, sr_out, taps_per_phase, atten_db)
+    return stft(y, cfg)
 
 
 def istft(

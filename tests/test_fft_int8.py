@@ -23,6 +23,9 @@ from crlot_tpu.fft.int8_backend import (
 from crlot_tpu.window.windows import get_window
 
 
+
+pytestmark = pytest.mark.slow  # opt-in int8 backend, large sizes: run with -m slow / full suite
+
 def _snr(ref, test):
     ref = np.asarray(ref, np.float64)
     err = np.asarray(test, np.float64) - ref

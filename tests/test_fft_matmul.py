@@ -8,7 +8,8 @@ from crlot_tpu.core.types import WindowType
 
 from crlot_tpu.fft.matmul_backend import irfft_matmul, rfft_matmul
 
-SIZES = [256, 512, 1024, 2048, 4096]
+SIZES = [256, 512, 1024, 2048,
+         pytest.param(4096, marks=pytest.mark.slow)]
 
 
 @pytest.mark.parametrize("nfft", SIZES)
@@ -127,7 +128,8 @@ def test_packed_roundtrip_synthesis_window():
     assert np.max(np.abs(got - want)) < 1e-4
 
 
-FOLDED_SIZES = [2, 4, 8, 48, 256, 1000, 1024, 4096]
+FOLDED_SIZES = [2, 4, 8, 48, 256, 1000, 1024,
+                pytest.param(4096, marks=pytest.mark.slow)]
 
 
 @pytest.mark.parametrize("nfft", FOLDED_SIZES)

@@ -20,6 +20,9 @@ from crlot_tpu.fft.matmul_backend import (
     roundtrip_folded_tiled,
 )
 
+
+pytestmark = pytest.mark.slow  # opt-in quad variant: run with -m slow / full suite
+
 SIZES = [4, 8, 12, 64, 100, 256, 512, 1024, 2048]
 
 

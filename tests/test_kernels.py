@@ -33,7 +33,7 @@ def _rand(n, seed):
 @pytest.mark.parametrize("n", SIZES)
 def test_axpy_ulp(n):
     dst, src = _rand(n, 1), _rand(n, 2)
-    got = np.asarray(K.axpy(dst, src, 1.5))
+    got = np.asarray(K.axpy(dst, src, 1.5, use_pallas=True))
     want = np.asarray(K.axpy_reference(dst, src, 1.5))
     assert _ulp_diff(got, want) <= 1, f"n={n}"
 
@@ -41,7 +41,7 @@ def test_axpy_ulp(n):
 @pytest.mark.parametrize("n", SIZES)
 def test_axpy_windowed_ulp(n):
     dst, src, win = _rand(n, 3), _rand(n, 4), _rand(n, 5)
-    got = np.asarray(K.axpy_windowed(dst, src, win, 0.75))
+    got = np.asarray(K.axpy_windowed(dst, src, win, 0.75, use_pallas=True))
     want = np.asarray(K.axpy_windowed_reference(dst, src, win, 0.75))
     assert _ulp_diff(got, want) <= 1, f"n={n}"
 
@@ -51,7 +51,7 @@ def test_normalize_and_clear_ulp(n):
     acc = _rand(n, 6)
     norm = np.abs(_rand(n, 7))
     norm[::5] = 0.0  # exercise the eps guard
-    got, cleared = K.normalize_and_clear(acc, norm, eps=1e-8)
+    got, cleared = K.normalize_and_clear(acc, norm, eps=1e-8, use_pallas=True)
     want, _ = K.normalize_and_clear_reference(acc, norm, 1e-8)
     assert _ulp_diff(np.asarray(got), np.asarray(want)) <= 1, f"n={n}"
     assert np.all(np.asarray(cleared) == 0.0)
@@ -98,3 +98,18 @@ def test_dispatch_info():
     assert 1 <= info["num_devices"] <= 64
     assert info["vpu_tile"] == (8, 128)
     K.print_kernel_dispatch_info()
+
+
+def test_size_dispatch():
+    """Auto-dispatch (reference analog: HWY_DYNAMIC_DISPATCH, kernels.cc:42-52):
+    None routes small arrays to the jnp form (and everything off-TPU), while
+    the forced paths agree within 1 ULP either way."""
+    assert K.kernel_dispatch_info()["min_pallas_n"] == K.pallas_min_n()
+    # Off-TPU auto must never pick interpreted Pallas.
+    assert not K._dispatch_pallas(1 << 24, None)
+    assert K._dispatch_pallas(123, True)
+    assert not K._dispatch_pallas(1 << 24, False)
+    dst, src = _rand(100, 8), _rand(100, 9)
+    auto = np.asarray(K.axpy(dst, src, 1.5))
+    forced = np.asarray(K.axpy(dst, src, 1.5, use_pallas=True))
+    assert _ulp_diff(auto, forced) <= 1

@@ -17,6 +17,9 @@ from crlot_tpu.fft.pallas_rt import (
 from crlot_tpu.window.windows import get_window
 
 
+
+pytestmark = pytest.mark.slow  # interpreted Pallas off-TPU: run with -m slow / full suite
+
 def _oracle(x, n, hop, f, w64):
     frames = np.stack([x[i * hop : i * hop + n] for i in range(f)])
     return np.fft.irfft(

@@ -25,6 +25,9 @@ WINDOWS = [
 ]
 
 
+
+pytestmark = pytest.mark.slow  # random property sweeps: run with -m slow / full suite
+
 def _draw_config(rng):
     n = int(rng.choice([128, 192, 256, 320, 512, 768, 1024, 2048]))
     # hop <= N/2 keeps COLA coverage for every window family above.

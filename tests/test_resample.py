@@ -136,3 +136,35 @@ def test_pallas_kernel_44k_48k():
     want = np.asarray(resample(x, 44100, 48000))
     got = np.asarray(resample_pallas(x, 160, 147, n_out, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_resampled_stft_fused_matches_sequential():
+    """The single-jit resample->frame->window->rFFT composition (BASELINE
+    config 3 'fused with framing') equals running the two stages separately."""
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.pipeline import resampled_stft, stft
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-0.9, 0.9, 44100).astype(np.float32)
+    cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
+    fused = np.asarray(resampled_stft(jnp.asarray(x), 44100, 48000, cfg))
+    seq = np.asarray(stft(resample(jnp.asarray(x), 44100, 48000), cfg))
+    assert fused.shape == seq.shape
+    err = np.max(np.abs(fused - seq))
+    scale = np.max(np.abs(seq))
+    assert err <= 1e-5 * scale, f"fused vs sequential: {err} (scale {scale})"
+
+
+def test_resampled_stft_output_rate_geometry():
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.pipeline import resampled_stft
+
+    x = np.zeros(44100, np.float32)
+    cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
+    spec = resampled_stft(jnp.asarray(x), 44100, 48000, cfg)
+    n_out = output_length(44100, 44100, 48000)
+    assert spec.shape == (cfg.frame_spec.num_frames(n_out), 513)

@@ -23,6 +23,7 @@ def _sig(c, t, seed=0):
 CFG = StftConfig(frame_size=256, hop_size=64, center=False)
 
 
+@pytest.mark.slow
 def test_chunked_stream_matches_oneshot_bitexact():
     mesh = make_mesh(channel=2, time=4)
     x = _sig(2, 4 * 64 * 96)  # long enough for several chunks
@@ -31,6 +32,7 @@ def test_chunked_stream_matches_oneshot_bitexact():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_chunked_stream_odd_total_length():
     mesh = make_mesh(channel=1, time=4)
     # total not a multiple of the chunk: trailing partial chunk path
@@ -40,6 +42,7 @@ def test_chunked_stream_odd_total_length():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_stream_iter_matches_array_driver():
     mesh = make_mesh(channel=1, time=4)
     s = 4 * 64 * 16
