@@ -124,7 +124,10 @@ def main(argv=None) -> int:
         return 0  # no baseline yet is not a failure
 
     ok, report = compare(current, baselines[key])
-    print(json.dumps({"pass": ok, "backend": key, "checks": report}))
+    print(json.dumps(
+        {"pass": ok, "exit": 0 if ok else 1, "backend": key,
+         "checks": report}
+    ))
     return 0 if ok else 1
 
 

@@ -111,6 +111,13 @@ class FftPlan:
         return taken.reshape(*flat.shape[:-1], self.desc.batch, elem)
 
     def _restride(self, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+        """Deliberate contract delta vs the reference: the C++ adapter writes
+        only the strided positions of a caller-owned buffer and leaves the
+        gap elements untouched (kissfft_adapter.cc:96-121); a functional
+        array program has no caller buffer to preserve, so the gaps here are
+        ZERO-FILLED. Callers that interleave two strided streams must write
+        both through `.at[::stride].set(...)` on one buffer instead of
+        relying on gap preservation."""
         if stride == 1:
             return x.reshape(*x.shape[:-2], -1)
         b, n = x.shape[-2:]

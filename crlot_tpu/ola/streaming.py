@@ -145,6 +145,15 @@ class OLAAccumulator:
     (OLAAccumulator.h:55-217): set_window / add_frame_soa / push_frame_aos /
     produce / flush / reset + peak meter. Internally everything is the jitted
     functional core above.
+
+    PERFORMANCE WARNING: this class is the API-parity layer, NOT the fast
+    path. Every add_frame_soa/produce is one device dispatch (~25 ms each on
+    a remote-tunneled TPU), so a per-frame loop through this class runs
+    orders of magnitude slower than the batched pipeline
+    (`pipeline.round_trip` — all frames in one program) or the streaming
+    scan (`streaming_pipeline.streaming_round_trip_blocks` — one dispatch
+    per multi-frame block). Use those for throughput; use this class for
+    reference-shaped integrations and tests.
     """
 
     def __init__(self, cfg: OLAConfig) -> None:

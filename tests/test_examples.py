@@ -15,6 +15,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+
+pytestmark = pytest.mark.slow  # integration demos, not correctness gates
+
 @pytest.fixture(scope="module")
 def small_wav(tmp_path_factory):
     import crlot_tpu as ct

@@ -52,6 +52,7 @@ def test_stretch_rate_one_near_identity():
     assert snr > 60.0, snr
 
 
+@pytest.mark.slow
 def test_stretch_long_signal_phase_precision():
     """The synthesis-phase carrier ramp is exact mod 2*pi (integer
     arithmetic), so reconstruction must NOT degrade with signal length —
