@@ -26,6 +26,11 @@ stays the default tier.
 Run: python scripts/bench_mixed_tier.py   (forces CPU; prints the SNR grid)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
