@@ -99,6 +99,30 @@ def bench_ola(results: Dict[str, float]) -> None:
             results[f"ola_n{n}_h{hop}_f{f}_us"] = round(us, 2)
 
 
+def _rt_time_capped(fn, x, frame_size: int, hop: int, retries: int = 2):
+    """_time with a physical-plausibility cap for round-trip workloads:
+    chain-minima differencing can fabricate faster-than-hardware readings
+    when the two chain lengths' minima land in different tunnel windows
+    (BENCH_r01-era suite recorded a 24 Gsamples/s 'e2e'). Anything above
+    1.35x every roofline bound is remeasured, then reported NaN — an honest
+    'unmeasurable', which the regression guard skips."""
+    from ..profiling import roofline_samples_per_sec
+
+    roof = roofline_samples_per_sec(frame_size, hop)
+    cap = 1.35 * max(
+        roof["bandwidth_bound_samples_per_sec"],
+        roof["compute_bound_samples_per_sec"],
+    )
+    n = np.asarray(x).shape[-1] * (
+        np.asarray(x).size // np.asarray(x).shape[-1]
+    )
+    for _ in range(1 + retries):
+        sec = _time(fn, x)
+        if not (sec > 0) or n / sec <= cap:
+            return sec
+    return float("nan")
+
+
 def bench_e2e(results: Dict[str, float]) -> None:
     from ..core.types import StftConfig
     from ..metrics import snr_db
@@ -116,7 +140,9 @@ def bench_e2e(results: Dict[str, float]) -> None:
         x = rng.uniform(-0.9, 0.9, seconds * sr).astype(np.float32)
         y = jax.jit(lambda s: round_trip(s, cfg))(x)
         snr = snr_db(np.asarray(x), np.asarray(y))
-        sec = _time(lambda s: round_trip(s, cfg), x) / seconds
+        sec = _rt_time_capped(
+            lambda s: round_trip(s, cfg), x, 1024, hop
+        ) / seconds
         results[f"e2e_1s48k_n1024_h{hop}_ms"] = round(sec * 1e3, 3)
         results[f"e2e_1s48k_n1024_h{hop}_rtf"] = round(1.0 / sec, 1)
         results[f"e2e_1s48k_n1024_h{hop}_snr_db"] = round(snr, 1)
@@ -187,7 +213,9 @@ def bench_sweep(results: Dict[str, float]) -> None:
             cfg = StftConfig(frame_size=n, hop_size=n // ratio, center=True)
             y = jax.jit(lambda s, c=cfg: round_trip(s, c))(x)
             snr = snr_db(np.asarray(x), np.asarray(y))
-            sec = _time(lambda s, c=cfg: round_trip(s, c), x)
+            sec = _rt_time_capped(
+                lambda s, c=cfg: round_trip(s, c), x, n, n // ratio
+            )
             key = f"sweep_n{n}_r{ratio}"
             results[f"{key}_gsamples_per_s"] = round(len(x) / sec / 1e9, 3)
             results[f"{key}_snr_db"] = round(snr, 1)
