@@ -319,16 +319,31 @@ def bench_streaming(results: Dict[str, float]) -> None:
     x = rng.uniform(-0.9, 0.9, n_chunks * chunk_samples + (n - hop)).astype(
         np.float32
     )
-    idx = np.arange(chunk_frames)[:, None] * hop + np.arange(n)[None, :]
+
+    # Framing happens ON DEVICE inside the chunk program: the host ships the
+    # raw chunk (+ the N-hop framing lookahead), not the 4x-inflated frame
+    # matrix — host->device traffic is the sustained-loop bottleneck on a
+    # tunneled chip.
+    from functools import partial as _partial
+
+    from ..frame.framing import hop_block_frames
+
+    @_partial(jax.jit, static_argnames=("with_tail",))
+    def chunk_program(x_chunk, tail, with_tail):
+        frames = hop_block_frames(x_chunk, n, hop, chunk_frames)
+        frames = frames.reshape(blocks_per_chunk, block_frames, n)
+        return streaming_round_trip_blocks(
+            frames, cfg, block_frames, None,
+            carry_tail=tail if with_tail else None, return_carry=True,
+        )
+
+    span = chunk_samples + (n - hop)
+    zero_tail = jnp.zeros(n - hop, jnp.float32)
 
     def run_chunk(k, tail):
-        frames = jnp.asarray(
-            x[k * chunk_samples + idx].reshape(blocks_per_chunk, block_frames, n)
-        )
-        return streaming_round_trip_blocks(
-            frames, cfg, block_frames, None, carry_tail=tail,
-            return_carry=True,
-        )
+        seg = jnp.asarray(x[k * chunk_samples : k * chunk_samples + span])
+        return chunk_program(seg, tail if tail is not None else zero_tail,
+                             tail is not None)
 
     out0, tail0 = run_chunk(0, None)  # compile + warm (tail-less trace)
     out0.block_until_ready()
