@@ -44,7 +44,10 @@ def compare(
         if name.startswith("_") or name not in current:
             continue
         cur = current[name]
-        if not isinstance(base, (int, float)) or base <= 0:
+        # A NaN baseline (recorded in a contended window) must not poison
+        # the verdict: NaN <= 0 is False, and cur/NaN would fail every band.
+        if (not isinstance(base, (int, float)) or not math.isfinite(base)
+                or base <= 0):
             continue
         if not isinstance(cur, (int, float)) or not math.isfinite(cur):
             # stages._time reports NaN when the tunnel was too contended to

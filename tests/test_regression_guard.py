@@ -105,3 +105,15 @@ def test_cli_verdict_on_synthetic_regression(tmp_path):
     assert p.returncode == 1, p.stdout + p.stderr
     verdict = json.loads(p.stdout.strip().splitlines()[-1])
     assert verdict["pass"] is False and verdict["exit"] == 1
+
+
+def test_nan_baseline_is_skipped():
+    """A NaN recorded INTO the baseline (contended tunnel) must not poison
+    the verdict (cur/NaN fails every band otherwise)."""
+    base = dict(BASE)
+    base["ola_n1024_h512_f375_us"] = float("nan")
+    cur = dict(BASE)
+    cur["ola_n1024_h512_f375_us"] = 123.0
+    ok, report = compare(cur, base)
+    assert ok
+    assert not any(r["metric"] == "ola_n1024_h512_f375_us" for r in report)
