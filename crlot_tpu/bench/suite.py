@@ -425,6 +425,13 @@ def main(argv=None) -> None:
         fn(results)
         partial = {k: v for k, v in results.items() if k not in before}
         print(json.dumps({"suite": name, **partial}), flush=True)
+        if args.out:
+            # Incremental: a tunnel hang/timeout mid-run must not lose the
+            # completed suites (both r2 TPU attempts died in one section).
+            snap = dict(results, _backend=jax.default_backend(),
+                        _wall_s=round(time.time() - t0, 1), _partial=name)
+            with open(args.out, "w") as f:
+                f.write(json.dumps(snap) + "\n")
     results["_backend"] = jax.default_backend()
     results["_wall_s"] = round(time.time() - t0, 1)
     line = json.dumps(results)
