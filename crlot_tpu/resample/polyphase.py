@@ -3,9 +3,11 @@
 Reference: main/main.cc:238-352 streams r8brain's CDSPResampler in 4096-sample
 chunks; BASELINE.json replaces it with "a polyphase FIR resampler as a
 [TPU] kernel". Design per SURVEY.md §7 step 6: windowed-sinc (Kaiser) designed
-in float64 on the host, executed as ONE strided grouped convolution — XLA
-lowers it to an im2col matmul on the MXU, which is the TPU-native form of a
-polyphase filter bank.
+in float64 on the host, executed as ONE grouped Toeplitz matmul on the MXU
+(G output blocks per matmul row), which is the TPU-native form of a
+polyphase filter bank. An earlier `lax.conv` formulation is gone: XLA's TPU
+conv lowering never finished compiling the pure-decimation shape and falls
+off the MXU fast path at other DSP shapes (docs/DESIGN.md).
 
 Math. For rational rate L/M (reduced), with h a lowpass at the L-upsampled
 rate (gain L, group delay G ticks, h centered):
@@ -100,6 +102,28 @@ def _kernel_bank(
     return bank.astype(np.float32), tau_min, w
 
 
+@lru_cache(maxsize=32)
+def _grouped_kernel(
+    l: int, m: int, taps_per_phase: int | None, atten_db: float, g: int
+) -> Tuple[np.ndarray, int, int]:
+    """Toeplitz expansion of the kernel bank over G consecutive L-blocks:
+    K2[r, j*L + i] = bank[i, r - j*M], span = (G-1)*M + W. One output row
+    covers G*L output samples from span input samples — the resampler
+    becomes a single well-shaped [B, span] x [span, G*L] MXU matmul.
+    Returns (K2 f32, tau_min, span)."""
+    bank, tau_min, w = _kernel_bank(l, m, taps_per_phase, atten_db)
+    span = (g - 1) * m + w
+    k2 = np.zeros((span, g * l), dtype=np.float32)
+    for j in range(g):
+        k2[j * m : j * m + w, j * l : (j + 1) * l] = bank.T
+    return k2, tau_min, span
+
+
+def _group_count(l: int) -> int:
+    """Blocks per matmul row: target ~256-512 output lanes per row."""
+    return max(1, -(-256 // l))
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _resample_impl(
     x: jnp.ndarray,  # [C, T]
@@ -109,27 +133,31 @@ def _resample_impl(
     taps_per_phase: int | None,
     atten_db: float,
 ) -> jnp.ndarray:
-    bank_np, tau_min, w = _kernel_bank(l, m, taps_per_phase, atten_db)
-    bank = jnp.asarray(bank_np)  # [L, W]
+    """Polyphase resample as ONE grouped Toeplitz matmul.
+
+    Earlier formulation was a strided `lax.conv_general_dilated`; on the
+    TPU backend the pure-decimation shape (L == 1, e.g. 48k -> 16k) never
+    finishes compiling, and DESIGN.md records XLA's TPU conv lowering
+    abandoning the MXU fast path at other DSP shapes (180x-slow composed
+    conv). The matmul form is shape-robust: y[(b*G+j)*L + i] =
+    sum_r X[b, r] * K2[r, j*L+i] with X[b] = x_padded[b*G*M : +span]."""
+    g = _group_count(l)
+    k2_np, tau_min, span = _grouped_kernel(l, m, taps_per_phase, atten_db, g)
+    k2 = jnp.asarray(k2_np)  # [span, G*L]
     channels, t_in = x.shape
-    blocks = -(-n_out // l)
+    row = g * l
+    blocks = -(-n_out // row)
     # x_padded[j] must equal x[j + tau_min]; last window ends at
-    # (blocks-1)*m + w - 1  (in padded coords).
+    # (blocks-1)*G*M + span - 1 (in padded coords).
     pad_left = -tau_min
-    need = (blocks - 1) * m + w
+    need = (blocks - 1) * g * m + span
     pad_right = max(0, need - (t_in + pad_left))
     xp = jnp.pad(x, ((0, 0), (pad_left, pad_right)))
-    # One strided conv: [C, 1, X] (*) [L, 1, W] stride m -> [C, L, B]
-    out = jax.lax.conv_general_dilated(
-        xp[:, None, :],
-        bank[:, None, :],
-        window_strides=(m,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )
-    # [C, L, B] -> [C, B, L] -> [C, B*L] -> trim
-    y = jnp.swapaxes(out, 1, 2).reshape(channels, blocks * l)
+    idx = jnp.arange(blocks)[:, None] * (g * m) + jnp.arange(span)[None, :]
+    frames = jnp.take(xp, idx, axis=-1)  # [C, B, span]
+    y = jnp.einsum(
+        "cbs,sr->cbr", frames, k2, preferred_element_type=jnp.float32
+    ).reshape(channels, blocks * row)
     return y[:, :n_out]
 
 
