@@ -311,9 +311,13 @@ def bench_streaming(results: Dict[str, float]) -> None:
     minutes = float(os.environ.get("CRLOT_BENCH_STREAM_MIN", "10"))
     cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
     n, hop = cfg.frame_size, cfg.hop_size
-    block_frames, blocks_per_chunk = 64, 32
+    # 128 scan-blocks per dispatch = 2.1 Msamples/chunk: on a tunneled chip
+    # the per-chunk dispatch+transfer (~20 ms) dominates sustained wall time,
+    # so chunks must be large enough to amortize it (measured 12.6 Msamples/s
+    # sustained at 0.5 Msample chunks — pure dispatch overhead).
+    block_frames, blocks_per_chunk = 64, 128
     chunk_frames = block_frames * blocks_per_chunk
-    chunk_samples = chunk_frames * hop  # 524288
+    chunk_samples = chunk_frames * hop  # 2097152
     n_chunks = max(int(minutes * 60 * sr) // chunk_samples, 2)
     rng = np.random.default_rng(9)
     x = rng.uniform(-0.9, 0.9, n_chunks * chunk_samples + (n - hop)).astype(
