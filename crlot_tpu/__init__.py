@@ -31,6 +31,16 @@ from .window.windows import get_window
 
 from .resample.polyphase import resample, resample_chunked
 from .convolve import convolve
+from .features import (
+    mel_filterbank,
+    mel_spectrogram,
+    mfcc,
+    power_to_db,
+    spectral_bandwidth,
+    spectral_centroid,
+    spectral_flatness,
+    spectral_rolloff,
+)
 from .griffinlim import griffin_lim, stft_magnitude
 from .psd import coherence, welch_freqs, welch_psd
 from .streaming_pipeline import process_wav_file, streaming_round_trip

@@ -1,0 +1,286 @@
+"""Spectral features on the framed MXU DFT: mel filterbank / mel
+spectrogram / MFCC and the classic spectral descriptors.
+
+The reference toolkit stops at the raw spectrum (its demo prints a top-10
+peak table, main/main.cc:186-208); a framework user coming from it for
+analysis work needs the standard feature stack on top. Everything here is
+matmul-shaped on purpose: a mel filterbank is a `[K, n_mels]` matrix applied
+to the power spectrogram, and the MFCC's DCT-II is another constant matrix —
+both land on the MXU batched over frames, which is exactly where this
+framework already lives (fft/matmul_backend.py).
+
+Design-time constants (filterbank, DCT basis) follow the repo convention:
+computed in float64 numpy, cached by key, cast to f32 (see
+window/windows.py). No complex64 escapes jit (axon backend constraint):
+features consume |X|^2 computed in-jit.
+
+Conventions match librosa/HTK where noted so oracles are unambiguous:
+- mel scale: "slaney" (librosa default; linear below 1 kHz, log above) or
+  "htk" (2595 * log10(1 + f/700)).
+- filterbank norm: "slaney" (equal-area) or None (unit peak).
+- MFCC: DCT-II with orthonormal scaling over log-mel in dB (10*log10).
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.types import StftConfig
+
+_CACHE: Dict[Tuple, np.ndarray] = {}
+_CACHE_LOCK = threading.Lock()
+
+
+# ---------------------------------------------------------------------------
+# mel scale + filterbank design (host, float64)
+# ---------------------------------------------------------------------------
+
+def hz_to_mel(f, htk: bool = False):
+    """Hz -> mel. `htk=True` uses 2595*log10(1+f/700); default is the
+    Slaney scale (linear below 1 kHz: f/66.67 mel; log above: +log-spaced
+    at 27 mel per ln(6.4) octave-ish step)."""
+    f = np.asarray(f, dtype=np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    f_min, f_sp = 0.0, 200.0 / 3.0
+    mels = (f - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = f >= min_log_hz
+    mels = np.where(
+        log_t,
+        min_log_mel + np.log(np.maximum(f, min_log_hz) / min_log_hz) / logstep,
+        mels,
+    )
+    return mels
+
+
+def mel_to_hz(m, htk: bool = False):
+    """Inverse of `hz_to_mel`."""
+    m = np.asarray(m, dtype=np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    f_min, f_sp = 0.0, 200.0 / 3.0
+    freqs = f_min + f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = m >= min_log_mel
+    freqs = np.where(
+        log_t, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs
+    )
+    return freqs
+
+
+def mel_filterbank(
+    sr: float,
+    n_fft: int,
+    n_mels: int = 64,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+    norm: Optional[str] = "slaney",
+) -> np.ndarray:
+    """Triangular mel filterbank `[n_mels, n_fft//2 + 1]` (float32).
+
+    Filters are triangles with vertices at `n_mels + 2` mel-equispaced
+    frequencies in [fmin, fmax]; `norm="slaney"` scales each triangle to
+    unit area (2 / bandwidth), `norm=None` leaves unit peaks. Designed in
+    float64, cached, cast f32 — usable directly as a jit constant.
+    """
+    if fmax is None:
+        fmax = sr / 2.0
+    if not (0.0 <= fmin < fmax <= sr / 2.0 + 1e-9):
+        raise ValueError(f"need 0 <= fmin < fmax <= sr/2, got [{fmin}, {fmax}]")
+    if n_mels < 1:
+        raise ValueError("n_mels must be >= 1")
+    if norm not in (None, "slaney"):
+        raise ValueError(f"unknown filterbank norm: {norm!r}")
+    key = ("melfb", float(sr), int(n_fft), int(n_mels), float(fmin),
+           float(fmax), bool(htk), norm)
+    with _CACHE_LOCK:
+        hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    fft_freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)  # [K] f64
+    mel_pts = np.linspace(
+        hz_to_mel(fmin, htk), hz_to_mel(fmax, htk), n_mels + 2
+    )
+    hz_pts = mel_to_hz(mel_pts, htk)  # [n_mels + 2]
+
+    # Triangle m rises hz_pts[m] -> hz_pts[m+1], falls to hz_pts[m+2].
+    lower = (fft_freqs[None, :] - hz_pts[:-2, None]) / np.maximum(
+        hz_pts[1:-1, None] - hz_pts[:-2, None], 1e-30
+    )
+    upper = (hz_pts[2:, None] - fft_freqs[None, :]) / np.maximum(
+        hz_pts[2:, None] - hz_pts[1:-1, None], 1e-30
+    )
+    fb = np.maximum(0.0, np.minimum(lower, upper))
+    if norm == "slaney":
+        enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
+        fb *= enorm[:, None]
+    fb = np.ascontiguousarray(fb.astype(np.float32))
+    fb.setflags(write=False)
+    with _CACHE_LOCK:
+        _CACHE[key] = fb
+    return fb
+
+
+def _dct_ii_ortho(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix `[n_out, n_in]` (float32, cached).
+    Matches scipy.fft.dct(type=2, norm="ortho") applied along the mel axis.
+    """
+    key = ("dct2", int(n_out), int(n_in))
+    with _CACHE_LOCK:
+        hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    k = np.arange(n_out, dtype=np.float64)[:, None]
+    n = np.arange(n_in, dtype=np.float64)[None, :]
+    mat = np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * n_in))
+    mat *= np.sqrt(2.0 / n_in)
+    mat[0] *= 1.0 / np.sqrt(2.0)
+    mat = np.ascontiguousarray(mat.astype(np.float32))
+    mat.setflags(write=False)
+    with _CACHE_LOCK:
+        _CACHE[key] = mat
+    return mat
+
+
+# ---------------------------------------------------------------------------
+# jitted feature extractors
+# ---------------------------------------------------------------------------
+
+def _power_spectrogram(signal: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
+    """|STFT|^2 `[..., F, K]` — real output so nothing complex leaves jit."""
+    from .pipeline import stft
+
+    spec = stft(signal, cfg)
+    return jnp.square(spec.real) + jnp.square(spec.imag)
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "sr", "n_mels", "fmin", "fmax", "htk", "norm"))
+def mel_spectrogram(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    n_mels: int = 64,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+    norm: Optional[str] = "slaney",
+) -> jnp.ndarray:
+    """Mel power spectrogram `[..., T] -> [..., F, n_mels]`.
+
+    One jit: framing + matmul DFT + |.|^2 + the `[K, n_mels]` filterbank
+    matmul (MXU, batched over frames).
+    """
+    fb = mel_filterbank(sr, cfg.frame_size, n_mels, fmin, fmax, htk, norm)
+    p = _power_spectrogram(jnp.asarray(signal), cfg)
+    return p @ jnp.asarray(fb).T
+
+
+def power_to_db(p: jnp.ndarray, floor_db: float = -100.0,
+                ref: float = 1.0) -> jnp.ndarray:
+    """10*log10(p/ref), floored at `floor_db` (no -inf on silence)."""
+    floor = 10.0 ** (floor_db / 10.0)
+    return 10.0 * jnp.log10(jnp.maximum(p / ref, floor))
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "sr", "n_mfcc", "n_mels", "fmin", "fmax", "htk", "norm",
+    "floor_db"))
+def mfcc(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    n_mfcc: int = 13,
+    n_mels: int = 64,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+    norm: Optional[str] = "slaney",
+    floor_db: float = -100.0,
+) -> jnp.ndarray:
+    """MFCCs `[..., T] -> [..., F, n_mfcc]`: orthonormal DCT-II of the
+    dB log-mel spectrogram (librosa convention)."""
+    if n_mfcc > n_mels:
+        raise ValueError(f"n_mfcc ({n_mfcc}) must be <= n_mels ({n_mels})")
+    mel = mel_spectrogram(signal, cfg, sr, n_mels, fmin, fmax, htk, norm)
+    logmel = power_to_db(mel, floor_db)
+    dct = _dct_ii_ortho(n_mfcc, n_mels)
+    return logmel @ jnp.asarray(dct).T
+
+
+# ---------------------------------------------------------------------------
+# spectral descriptors (per frame)
+# ---------------------------------------------------------------------------
+
+def _freqs(cfg: StftConfig, sr: float) -> jnp.ndarray:
+    return jnp.asarray(
+        np.fft.rfftfreq(cfg.frame_size, d=1.0 / sr).astype(np.float32)
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "sr"))
+def spectral_centroid(signal: jnp.ndarray, cfg: StftConfig,
+                      sr: float) -> jnp.ndarray:
+    """Magnitude-weighted mean frequency per frame `[..., T] -> [..., F]`
+    (Hz). Silent frames return 0."""
+    p = _power_spectrogram(jnp.asarray(signal), cfg)
+    mag = jnp.sqrt(p)
+    f = _freqs(cfg, sr)
+    num = jnp.sum(mag * f, axis=-1)
+    den = jnp.sum(mag, axis=-1)
+    return jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sr"))
+def spectral_bandwidth(signal: jnp.ndarray, cfg: StftConfig,
+                       sr: float) -> jnp.ndarray:
+    """Magnitude-weighted std of frequency about the centroid, per frame
+    (Hz). Silent frames return 0."""
+    p = _power_spectrogram(jnp.asarray(signal), cfg)
+    mag = jnp.sqrt(p)
+    f = _freqs(cfg, sr)
+    den = jnp.maximum(jnp.sum(mag, axis=-1), 1e-30)
+    cent = jnp.sum(mag * f, axis=-1) / den
+    var = jnp.sum(mag * jnp.square(f - cent[..., None]), axis=-1) / den
+    return jnp.where(
+        jnp.sum(mag, axis=-1) > 0, jnp.sqrt(jnp.maximum(var, 0.0)), 0.0
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "sr", "roll_percent"))
+def spectral_rolloff(signal: jnp.ndarray, cfg: StftConfig, sr: float,
+                     roll_percent: float = 0.85) -> jnp.ndarray:
+    """Lowest frequency per frame below which `roll_percent` of the total
+    spectral energy lies `[..., T] -> [..., F]` (Hz)."""
+    p = _power_spectrogram(jnp.asarray(signal), cfg)
+    csum = jnp.cumsum(p, axis=-1)
+    thresh = roll_percent * csum[..., -1:]
+    f = _freqs(cfg, sr)
+    # First bin where cumulative energy crosses the threshold: argmax over
+    # the boolean (static shapes, no data-dependent control flow).
+    idx = jnp.argmax(csum >= thresh, axis=-1)
+    return f[idx]
+
+
+@partial(jax.jit, static_argnames=("cfg", "eps"))
+def spectral_flatness(signal: jnp.ndarray, cfg: StftConfig,
+                      eps: float = 1e-10) -> jnp.ndarray:
+    """Wiener entropy per frame: geometric / arithmetic mean of the power
+    spectrum, in (0, 1]. ~1 for white noise, ~0 for a pure tone."""
+    p = _power_spectrogram(jnp.asarray(signal), cfg) + eps
+    log_gm = jnp.mean(jnp.log(p), axis=-1)
+    am = jnp.mean(p, axis=-1)
+    return jnp.exp(log_gm) / am

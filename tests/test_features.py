@@ -1,0 +1,255 @@
+"""Spectral features: mel filterbank / mel spectrogram / MFCC / descriptors.
+
+Oracle strategy (SURVEY.md §4 pattern 1): brute-force per-bin triangle
+construction for the filterbank, scipy.fft.dct for the MFCC's DCT stage, and
+analytic tone/noise gates for the descriptors.
+"""
+
+import numpy as np
+import pytest
+import scipy.fft
+
+import jax.numpy as jnp
+
+from crlot_tpu.core.types import StftConfig
+from crlot_tpu.features import (
+    _dct_ii_ortho,
+    hz_to_mel,
+    mel_filterbank,
+    mel_spectrogram,
+    mel_to_hz,
+    mfcc,
+    power_to_db,
+    spectral_bandwidth,
+    spectral_centroid,
+    spectral_flatness,
+    spectral_rolloff,
+)
+from crlot_tpu.pipeline import stft
+
+SR = 48000
+CFG = StftConfig(frame_size=1024, hop_size=256, center=True)
+
+
+def _tone(freq, seconds=0.5, sr=SR):
+    t = np.arange(int(seconds * sr)) / sr
+    return np.sin(2 * np.pi * freq * t).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# mel scale
+# ---------------------------------------------------------------------------
+
+def test_htk_mel_1khz():
+    # 2595*log10(1 + 1000/700) is within 0.02 mel of 1000 by construction.
+    assert abs(hz_to_mel(1000.0, htk=True) - 1000.0) < 0.1
+
+
+def test_slaney_mel_linear_below_1khz():
+    # Slaney: linear region f/66.67 mel.
+    assert abs(hz_to_mel(500.0) - 500.0 * 3.0 / 200.0) < 1e-9
+
+
+@pytest.mark.parametrize("htk", [False, True])
+def test_mel_hz_roundtrip(htk):
+    f = np.linspace(0.0, SR / 2, 777)
+    back = mel_to_hz(hz_to_mel(f, htk), htk)
+    np.testing.assert_allclose(back, f, rtol=1e-12, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# filterbank
+# ---------------------------------------------------------------------------
+
+def _oracle_fb(sr, n_fft, n_mels, fmin, fmax, htk, norm):
+    """Brute per-bin triangle evaluation (independent formulation: piecewise
+    linear in Hz per bin, explicit loops)."""
+    pts = mel_to_hz(
+        np.linspace(hz_to_mel(fmin, htk), hz_to_mel(fmax, htk), n_mels + 2),
+        htk,
+    )
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    fb = np.zeros((n_mels, len(freqs)))
+    for m in range(n_mels):
+        lo, mid, hi = pts[m], pts[m + 1], pts[m + 2]
+        for k, f in enumerate(freqs):
+            if lo < f < mid:
+                fb[m, k] = (f - lo) / (mid - lo)
+            elif mid <= f < hi:
+                fb[m, k] = (hi - f) / (hi - mid)
+            elif f == mid:
+                fb[m, k] = 1.0
+        if norm == "slaney":
+            fb[m] *= 2.0 / (hi - lo)
+    return fb.astype(np.float32)
+
+
+@pytest.mark.parametrize("htk,norm", [(False, "slaney"), (True, None)])
+def test_filterbank_vs_bruteforce_oracle(htk, norm):
+    got = mel_filterbank(SR, 512, n_mels=24, fmin=50.0, fmax=20000.0,
+                         htk=htk, norm=norm)
+    want = _oracle_fb(SR, 512, 24, 50.0, 20000.0, htk, norm)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_filterbank_shape_dtype_cache():
+    fb = mel_filterbank(SR, 1024, n_mels=64)
+    assert fb.shape == (64, 513)
+    assert fb.dtype == np.float32
+    assert np.all(fb >= 0)
+    assert mel_filterbank(SR, 1024, n_mels=64) is fb  # cached object
+    assert not fb.flags.writeable
+
+
+def test_filterbank_unit_peak_when_unnormalized():
+    # Wide filters (few mels, many bins): apex lands within one bin of a
+    # grid point, so the max is ~1.
+    fb = mel_filterbank(SR, 4096, n_mels=16, norm=None)
+    peaks = fb.max(axis=1)
+    assert np.all(peaks > 0.9) and np.all(peaks <= 1.0 + 1e-6)
+
+
+def test_filterbank_slaney_unit_area():
+    fb = mel_filterbank(SR, 4096, n_mels=16, fmin=100.0, norm="slaney")
+    df = SR / 4096
+    areas = fb.sum(axis=1) * df
+    np.testing.assert_allclose(areas, 1.0, rtol=0.05)
+
+
+def test_filterbank_validation():
+    with pytest.raises(ValueError):
+        mel_filterbank(SR, 1024, n_mels=0)
+    with pytest.raises(ValueError):
+        mel_filterbank(SR, 1024, fmin=-1.0)
+    with pytest.raises(ValueError):
+        mel_filterbank(SR, 1024, fmin=1000.0, fmax=500.0)
+    with pytest.raises(ValueError):
+        mel_filterbank(SR, 1024, norm="l2")
+
+
+# ---------------------------------------------------------------------------
+# mel spectrogram
+# ---------------------------------------------------------------------------
+
+def test_mel_spectrogram_is_power_matmul():
+    x = np.random.default_rng(0).standard_normal(SR // 4).astype(np.float32)
+    got = np.asarray(mel_spectrogram(x, CFG, SR, n_mels=40))
+    spec = np.asarray(stft(jnp.asarray(x), CFG))
+    p = np.abs(spec) ** 2
+    fb = mel_filterbank(SR, CFG.frame_size, 40)
+    want = p @ fb.T
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_mel_spectrogram_tone_band():
+    freq = 2000.0
+    m = np.asarray(mel_spectrogram(_tone(freq), CFG, SR, n_mels=64))
+    band = int(np.argmax(m.mean(axis=0)))
+    centers = mel_to_hz(
+        np.linspace(hz_to_mel(0.0), hz_to_mel(SR / 2), 66), False
+    )[1:-1]
+    assert abs(centers[band] - freq) < 250.0  # within a band spacing at 2 kHz
+
+
+def test_mel_spectrogram_batched():
+    x = np.random.default_rng(1).standard_normal((3, SR // 8))
+    m = mel_spectrogram(x.astype(np.float32), CFG, SR, n_mels=32)
+    assert m.shape[:1] == (3,) and m.shape[-1] == 32
+    one = mel_spectrogram(x[1].astype(np.float32), CFG, SR, n_mels=32)
+    # Batched and unbatched traces may pick different contraction layouts;
+    # equality is to f32 tolerance, not bit-exact.
+    np.testing.assert_allclose(
+        np.asarray(m[1]), np.asarray(one), rtol=1e-5, atol=1e-7
+    )
+
+
+# ---------------------------------------------------------------------------
+# MFCC
+# ---------------------------------------------------------------------------
+
+def test_dct_matrix_orthonormal():
+    d = np.asarray(_dct_ii_ortho(32, 32), dtype=np.float64)
+    np.testing.assert_allclose(d @ d.T, np.eye(32), atol=1e-6)
+
+
+def test_mfcc_matches_scipy_dct_of_logmel():
+    x = np.random.default_rng(2).standard_normal(SR // 4).astype(np.float32)
+    got = np.asarray(mfcc(x, CFG, SR, n_mfcc=13, n_mels=40))
+    logmel = np.asarray(
+        power_to_db(mel_spectrogram(x, CFG, SR, n_mels=40))
+    ).astype(np.float64)
+    want = scipy.fft.dct(logmel, type=2, norm="ortho", axis=-1)[..., :13]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+
+def test_mfcc_constant_logmel_energy_in_c0():
+    # A flat log-mel spectrum has all DCT energy in coefficient 0; white-ish
+    # noise is not flat, but a DC log-mel vector run through the DCT matrix
+    # directly must be exactly [c0, 0, 0, ...].
+    d = np.asarray(_dct_ii_ortho(13, 40), dtype=np.float64)
+    out = d @ np.ones(40)
+    assert abs(out[0] - np.sqrt(40)) < 1e-5
+    np.testing.assert_allclose(out[1:], 0.0, atol=1e-5)
+
+
+def test_mfcc_validation():
+    with pytest.raises(ValueError):
+        mfcc(np.zeros(4096, np.float32), CFG, SR, n_mfcc=20, n_mels=13)
+
+
+# ---------------------------------------------------------------------------
+# descriptors
+# ---------------------------------------------------------------------------
+
+def test_centroid_of_tone():
+    freq = 3000.0
+    c = np.asarray(spectral_centroid(_tone(freq), CFG, SR))
+    interior = c[4:-4]  # skip centered edge frames
+    bin_hz = SR / CFG.frame_size
+    assert np.all(np.abs(interior - freq) < 2 * bin_hz)
+
+
+def test_centroid_silent_is_zero_not_nan():
+    c = np.asarray(spectral_centroid(np.zeros(8192, np.float32), CFG, SR))
+    assert np.all(np.isfinite(c)) and np.all(c == 0.0)
+
+
+def test_bandwidth_tone_vs_noise():
+    bw_tone = np.asarray(spectral_bandwidth(_tone(3000.0), CFG, SR))[4:-4]
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal(SR // 2).astype(np.float32)
+    bw_noise = np.asarray(spectral_bandwidth(noise, CFG, SR))[4:-4]
+    assert np.all(bw_tone < 500.0)
+    assert np.all(bw_noise > 3000.0)
+
+
+def test_rolloff_tone():
+    freq = 3000.0
+    r = np.asarray(spectral_rolloff(_tone(freq), CFG, SR))[4:-4]
+    bin_hz = SR / CFG.frame_size
+    assert np.all(np.abs(r - freq) < 3 * bin_hz)
+
+
+def test_rolloff_monotonic_in_percent():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(SR // 2).astype(np.float32)
+    r50 = np.asarray(spectral_rolloff(x, CFG, SR, roll_percent=0.5))
+    r95 = np.asarray(spectral_rolloff(x, CFG, SR, roll_percent=0.95))
+    assert np.all(r95 >= r50)
+
+
+def test_flatness_tone_vs_noise():
+    flat_tone = np.asarray(spectral_flatness(_tone(3000.0), CFG))[4:-4]
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal(SR // 2).astype(np.float32)
+    flat_noise = np.asarray(spectral_flatness(noise, CFG))[4:-4]
+    assert np.all(flat_tone < 0.05)
+    # Exponentially-distributed periodogram bins: E[GM/AM] = exp(-gamma)
+    # ~ 0.56; windowed overlap correlates bins a bit, widen the band.
+    assert np.all(flat_noise > 0.3) and np.all(flat_noise < 0.9)
+
+
+def test_power_to_db_floor():
+    p = jnp.asarray([0.0, 1.0, 100.0], jnp.float32)
+    db = np.asarray(power_to_db(p, floor_db=-100.0))
+    np.testing.assert_allclose(db, [-100.0, 0.0, 20.0], atol=1e-4)
