@@ -66,6 +66,60 @@ def _timed_chain_dyn(fn_one):
     return jax.jit(chained)
 
 
+def _mxu_probe_chain():
+    """A pure bf16 matmul chain (the op the roofline's compute peak is
+    defined by) timed with the same dynamic-k differencing as the pipeline.
+    Measures the MXU rate the time-shared tunnel is ACTUALLY serving in the
+    current window, so a half-rate service window (chip duty ~50%) is
+    distinguishable from pipeline inefficiency. Returns (jit_fn, operand,
+    flops_per_iter)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    rng = np.random.default_rng(1)
+    m = jnp.asarray(
+        (rng.standard_normal((n, n)) / np.sqrt(n)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def one(c):
+        return jax.lax.dot(
+            m, c, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+
+    def chained(k, c):
+        y = jax.lax.fori_loop(0, k, lambda _, cc: one(cc), c)
+        return jnp.sum(y.astype(jnp.float32))
+
+    return jax.jit(chained), m, 2.0 * n * n * n
+
+
+def _hbm_probe_chain():
+    """A pure streaming chain (read + write one big f32 array per
+    iteration, arithmetic intensity ~0) measuring the HBM bandwidth the
+    current window actually delivers. The pipeline sits at the MXU/HBM
+    balance point (bw_bound 7.58 G vs compute_bound 7.99 G samples/s at the
+    headline config), so a co-tenant saturating HBM halves the pipeline while
+    pure matmuls still run at ~full rate — which is exactly what the two
+    probes together disambiguate. Returns (jit_fn, operand,
+    bytes_per_iter)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 32 * 1024 * 1024  # 128 MB f32: far beyond VMEM, forced HBM traffic
+    x = jnp.zeros((n,), jnp.float32)
+
+    def chained(k, c):
+        def body(_, cc):
+            return cc * jnp.float32(1.0000001) + jnp.float32(1e-7)
+
+        y = jax.lax.fori_loop(0, k, body, c)
+        return jnp.sum(y)
+
+    return jax.jit(chained), x, 2.0 * 4.0 * n  # read + write per iter
+
+
 def _burst(f, x, k_small, k_big, reps):
     """One burst: interleave the two chain lengths and difference their
     MINIMA. The tunnel's per-call overhead swings by hundreds of ms between
@@ -92,7 +146,7 @@ def main() -> None:
     from crlot_tpu.core.types import StftConfig
     from crlot_tpu.metrics import snr_db
     from crlot_tpu.pipeline import round_trip
-    from crlot_tpu.profiling import roofline_samples_per_sec
+    from crlot_tpu.profiling import device_specs, roofline_samples_per_sec
 
     # Default 40 min: the chip's half-rate service windows have been
     # observed to last a full hour; early-exit on the first full-rate burst
@@ -142,8 +196,28 @@ def main() -> None:
     float(f(1, x))  # the ONE big compile + warm
     log("chain program compiled")
 
+    # Chip-duty calibration probe: a raw bf16 matmul chain measured in the
+    # SAME window as each pipeline burst. bf16_peak is the spec the roofline
+    # model's compute bound derives from; duty = measured/spec tells whether
+    # a sub-90% reading is the pipeline's fault or a time-shared window.
+    probe_f, probe_m, probe_flops = _mxu_probe_chain()
+    float(probe_f(1, probe_m))
+    hbm_f, hbm_x, hbm_bytes = _hbm_probe_chain()
+    float(hbm_f(1, hbm_x))
+    hbm_peak, bf16_peak, _ = device_specs()
+    log("mxu + hbm probes compiled")
+
+    def measure_duty():
+        """(mxu_duty, hbm_duty), each None if unmeasurable this window."""
+        mxu = _burst(probe_f, probe_m, k_small, k_big, reps=6)
+        hbm = _burst(hbm_f, hbm_x, k_small, k_big, reps=6)
+        mxu_d = (probe_flops / mxu) / bf16_peak if mxu else None
+        hbm_d = (hbm_bytes / hbm) / hbm_peak if hbm else None
+        return mxu_d, hbm_d
+
     state = {"best_sps": 0.0, "best_per_iter": float("nan"), "bursts": 0,
-             "rejected_over_cap": 0, "unmeasurable": 0, "printed": False}
+             "rejected_over_cap": 0, "unmeasurable": 0, "printed": False,
+             "best_duty": (None, None)}
 
     def classify(sps: float) -> str:
         pct = 100.0 * sps / roof_sps
@@ -158,6 +232,31 @@ def main() -> None:
             return
         state["printed"] = True
         sps = state["best_sps"]
+        duty_fields = {}
+        mxu_d, hbm_d = state["best_duty"]
+        if mxu_d is not None:
+            duty_fields["chip_bf16_tflops_measured"] = round(
+                mxu_d * bf16_peak / 1e12, 1
+            )
+            duty_fields["chip_mxu_duty_pct"] = round(100 * mxu_d, 1)
+        if hbm_d is not None:
+            duty_fields["chip_hbm_gbps_measured"] = round(
+                hbm_d * hbm_peak / 1e9, 1
+            )
+            duty_fields["chip_hbm_duty_pct"] = round(100 * hbm_d, 1)
+        if mxu_d is not None and hbm_d is not None:
+            # Roofline rebuilt from the resource rates the window actually
+            # served (duties capped at 1 so co-measurement can only explain
+            # a deficit, never inflate the raw number's meaning).
+            roof_meas = min(
+                roof["bandwidth_bound_samples_per_sec"]
+                * min(max(hbm_d, 1e-6), 1.0),
+                roof["compute_bound_samples_per_sec"]
+                * min(max(mxu_d, 1e-6), 1.0),
+            )
+            duty_fields["roofline_pct_chip_adjusted"] = round(
+                100 * sps / roof_meas, 1
+            )
         print(
             json.dumps(
                 {
@@ -177,6 +276,7 @@ def main() -> None:
                     "elapsed_s": round(time.time() - t_start, 1),
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0].device_kind),
+                    **duty_fields,
                 }
             ),
             flush=True,
@@ -214,6 +314,13 @@ def main() -> None:
                 if sps > state["best_sps"]:
                     state["best_sps"] = sps
                     state["best_per_iter"] = per_iter
+                    # Co-measure the resource rates this window serves.
+                    mxu_d, hbm_d = measure_duty()
+                    state["best_duty"] = (mxu_d, hbm_d)
+                    log("  window duty: mxu "
+                        + (f"{100 * mxu_d:.0f}%" if mxu_d else "n/a")
+                        + ", hbm "
+                        + (f"{100 * hbm_d:.0f}%" if hbm_d else "n/a"))
                 if classify(sps) == "full-rate":
                     emit("full-rate window measured")
                     return
