@@ -249,6 +249,48 @@ def bench_convolve(results: Dict[str, float]) -> None:
     results["convolve_255tap_msamples_per_s"] = round(len(x) / sec / 1e6, 1)
 
 
+def bench_features(results: Dict[str, float]) -> None:
+    """Mel spectrogram + MFCC extraction rate (matmul feature stack)."""
+    from ..core.types import StftConfig
+    from ..features import mel_spectrogram, mfcc
+
+    rng = np.random.default_rng(9)
+    sr = 48000
+    x = rng.uniform(-0.9, 0.9, sr * 4).astype(np.float32)
+    cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
+
+    def mel_fn(v):
+        return mel_spectrogram(v, cfg, float(sr), n_mels=64)
+
+    def mfcc_fn(v):
+        return mfcc(v, cfg, float(sr), n_mfcc=13, n_mels=64)
+
+    assert np.isfinite(np.asarray(jax.jit(mel_fn)(x))).all()
+    sec = _time(mel_fn, x)
+    results["mel64_4s_ms"] = round(sec * 1e3, 3)
+    results["mel64_msamples_per_s"] = round(len(x) / sec / 1e6, 1)
+    sec = _time(mfcc_fn, x)
+    results["mfcc13_4s_ms"] = round(sec * 1e3, 3)
+    results["mfcc13_msamples_per_s"] = round(len(x) / sec / 1e6, 1)
+
+
+def bench_iir(results: Dict[str, float]) -> None:
+    """Associative-scan IIR throughput: butter(4) lowpass cascade."""
+    from ..iir import butter_sos, sosfilt
+
+    rng = np.random.default_rng(10)
+    x = rng.uniform(-0.9, 0.9, 48000 * 4).astype(np.float32)
+    sos = butter_sos(4, 0.1, "lowpass")
+
+    def f(v):
+        return sosfilt(sos, v)
+
+    assert np.isfinite(np.asarray(jax.jit(f)(x))).all()
+    sec = _time(f, x)
+    results["iir_butter4_4s_ms"] = round(sec * 1e3, 3)
+    results["iir_butter4_msamples_per_s"] = round(len(x) / sec / 1e6, 1)
+
+
 def bench_resample(results: Dict[str, float]) -> None:
     """BASELINE config 3: polyphase resample chain 44.1k -> 48k -> 16k."""
     from ..resample.polyphase import resample
@@ -401,7 +443,7 @@ def main(argv=None) -> None:
     ap.add_argument(
         "--suites",
         default="fft,kernels,ola,e2e,spectral,multichannel,sweep,resample,"
-                "convolve,streaming",
+                "convolve,features,iir,streaming",
         help="comma-separated subset",
     )
     args = ap.parse_args(argv)
@@ -421,6 +463,8 @@ def main(argv=None) -> None:
         ("sweep", bench_sweep),
         ("resample", bench_resample),
         ("convolve", bench_convolve),
+        ("features", bench_features),
+        ("iir", bench_iir),
         ("streaming", bench_streaming),
     ):
         if name not in suites:

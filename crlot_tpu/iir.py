@@ -52,17 +52,23 @@ def _affine_scan(A, c, b0, x, s0):
     mats = jnp.broadcast_to(A, x.shape + (n, n))  # [B, T, N, N]
     vecs = c * x[..., None]  # [B, T, N]
 
+    # HIGHEST precision: the contraction dim is N (2 for a biquad) so the
+    # MXU gains nothing, and the TPU's default bf16 matmul passes compound
+    # across the log-depth scan into ~40 dB output error (measured on v5e);
+    # exact-f32 contractions restore the >=70 dB scipy-parity gate.
+    hi = jax.lax.Precision.HIGHEST
+
     def combine(e1, e2):
         m1, v1 = e1
         m2, v2 = e2
         return (
-            jnp.einsum("...ij,...jk->...ik", m2, m1),
-            jnp.einsum("...ij,...j->...i", m2, v1) + v2,
+            jnp.einsum("...ij,...jk->...ik", m2, m1, precision=hi),
+            jnp.einsum("...ij,...j->...i", m2, v1, precision=hi) + v2,
         )
 
     m_cum, v_cum = jax.lax.associative_scan(combine, (mats, vecs), axis=1)
     # s[t] = A^(t+1)-ish cumulative map applied to the initial state.
-    s = jnp.einsum("btij,bj->bti", m_cum, s0) + v_cum  # [B, T, N]
+    s = jnp.einsum("btij,bj->bti", m_cum, s0, precision=hi) + v_cum
     s_prev = jnp.concatenate([s0[:, None, :], s[:, :-1, :]], axis=1)
     y = b0 * x + s_prev[..., 0]
     return y, s[:, -1, :]

@@ -1,0 +1,65 @@
+"""Example: mel-spectrogram / MFCC feature extraction from a WAV.
+
+The whole feature stack — framing, the matmul DFT, |.|^2, the mel
+filterbank matmul, dB, and the DCT matmul — runs as one jitted program of
+MXU matmuls per channel.
+
+Usage: python examples/extract_features.py in.wav out.npz [--n-mels 64]
+                                           [--n-mfcc 13] [--band-energy]
+"""
+
+import argparse
+
+import numpy as np
+
+import os as _os
+import sys as _sys
+
+# allow `python examples/<name>.py` without installing the package
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+import crlot_tpu as ct
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("infile")
+    ap.add_argument("outfile", help=".npz with mel, mfcc, centroid arrays")
+    ap.add_argument("--n-mels", type=int, default=64)
+    ap.add_argument("--n-mfcc", type=int, default=13)
+    ap.add_argument("--frame-size", type=int, default=1024)
+    ap.add_argument("--hop-size", type=int, default=256)
+    args = ap.parse_args()
+
+    x, sr = ct.read_wav(args.infile)
+    mono = np.mean(x, axis=0) if x.ndim == 2 else x
+    cfg = ct.StftConfig(
+        frame_size=args.frame_size, hop_size=args.hop_size, center=True
+    )
+
+    mel = np.asarray(
+        ct.mel_spectrogram(mono, cfg, float(sr), n_mels=args.n_mels)
+    )
+    coeffs = np.asarray(
+        ct.mfcc(mono, cfg, float(sr), n_mfcc=args.n_mfcc,
+                n_mels=args.n_mels)
+    )
+    centroid = np.asarray(ct.spectral_centroid(mono, cfg, float(sr)))
+    flatness = np.asarray(ct.spectral_flatness(mono, cfg))
+
+    np.savez(
+        args.outfile, mel=mel, mfcc=coeffs, centroid=centroid,
+        flatness=flatness, sample_rate=sr, hop_size=args.hop_size,
+    )
+    print(
+        f"{args.infile}: {mel.shape[0]} frames -> mel{mel.shape} "
+        f"mfcc{coeffs.shape}; median centroid "
+        f"{float(np.median(centroid)):.0f} Hz, median flatness "
+        f"{float(np.median(flatness)):.3f} -> {args.outfile}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,5 +56,7 @@ else
 fi
 
 echo "== headline bench =="
-# 3 measurement bursts spanning ~7 min plus compile headroom
-retry 900 3 python bench.py | tee "$OUT/bench.json"
+# Regime-aware: bench.py samples within CRLOT_BENCH_BUDGET_S (default 2400 s,
+# early exit on the first full-rate window) and emits best-so-far on SIGTERM,
+# so one attempt with headroom beats retries that would each recompile.
+retry 2700 1 python bench.py | tee "$OUT/bench.json"

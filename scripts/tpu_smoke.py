@@ -206,6 +206,27 @@ def main() -> int:
     snrs = float(ct.snr_db(x1[valid_from:m], np.asarray(ys)[valid_from:m]))
     check("streaming_round_trip", snrs > 60.0, f"snr={snrs:.1f}dB")
 
+    # 7. Feature stack (mel/MFCC matmuls) on device.
+    mel = np.asarray(
+        ct.mel_spectrogram(jnp.asarray(x1), cfg_s, 48000.0, n_mels=64)
+    )
+    check(
+        "mel_spectrogram",
+        np.isfinite(mel).all() and mel.min() >= 0 and mel.shape[-1] == 64,
+        str(mel.shape),
+    )
+
+    # 8. Associative-scan IIR vs scipy on device (exact-f32 scan products;
+    #    the default bf16 matmul passes measured ~41 dB here — HIGHEST in
+    #    iir._affine_scan is what this gate protects).
+    import scipy.signal
+
+    sos = ct.butter_sos(4, 0.2)
+    y_iir = np.asarray(ct.sosfilt(sos, jnp.asarray(x1)))
+    want_iir = scipy.signal.sosfilt(sos, x1.astype(np.float64))
+    snr_iir = float(ct.snr_db(want_iir.astype(np.float32), y_iir))
+    check("iir_sosfilt_vs_scipy", snr_iir > 70.0, f"snr={snr_iir:.1f}dB")
+
     failed = [r for r in results if not r[1]]
     print(f"{len(results) - len(failed)}/{len(results)} passed", flush=True)
     return 1 if failed else 0

@@ -79,6 +79,17 @@ def test_time_stretch_example(small_wav, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
 
 
+def test_extract_features_example(small_wav, tmp_path):
+    out = str(tmp_path / "feats.npz")
+    r = _run("extract_features.py", small_wav, out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = np.load(out)
+    assert d["mel"].shape[-1] == 64 and d["mfcc"].shape[-1] == 13
+    assert np.isfinite(d["mel"]).all() and np.isfinite(d["mfcc"]).all()
+    # 440 Hz tone + light noise: centroid should sit well below Nyquist.
+    assert 100 < float(np.median(d["centroid"])) < 8000
+
+
 def test_streaming_checkpoint_example(small_wav, tmp_path):
     out = str(tmp_path / "out.npy")
     ckpt = str(tmp_path / "stream.ckpt.npz")
