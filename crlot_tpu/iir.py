@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sosfilt", "lfilter", "butter_sos"]
+__all__ = ["sosfilt", "sosfilt_zi", "sosfiltfilt", "lfilter", "butter_sos"]
 
 
 # ---------------------------------------------------------------------------
@@ -192,6 +192,75 @@ def lfilter(
     y = y.reshape(batch_shape + y.shape[-1:])
     if want_zf:
         return y, zf.reshape(batch_shape + (n,))
+    return y
+
+
+def sosfilt_zi(sos: np.ndarray) -> np.ndarray:
+    """Steady-state DF2T state for a unit-step input, `[n_sections, 2]`
+    float64 (scipy.signal.sosfilt_zi parity). Multiply by the signal's
+    first sample to start a filter without a step transient — the
+    initial-condition trick `sosfiltfilt` relies on. Host-side f64."""
+    sos = np.asarray(sos, dtype=np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be [n_sections, 6], got {sos.shape}")
+    zi = np.zeros((sos.shape[0], 2))
+    scale = 1.0
+    for k in range(sos.shape[0]):
+        b = sos[k, :3] / sos[k, 3]
+        a = sos[k, 3:] / sos[k, 3]
+        # Steady state of s = A s + c for unit input (DF2T constants as in
+        # _df2t_constants): solve (I - A) zi = c.
+        A = np.array([[-a[1], 1.0], [-a[2], 0.0]])
+        c = b[1:] - a[1:] * b[0]
+        zi[k] = scale * np.linalg.solve(np.eye(2) - A, c)
+        scale *= b.sum() / a.sum()  # section DC gain feeds the next stage
+    return zi
+
+
+def sosfiltfilt(
+    sos: np.ndarray, x: jnp.ndarray, padlen: Optional[int] = None
+) -> jnp.ndarray:
+    """Zero-phase forward-backward filtering (scipy.signal.sosfiltfilt
+    parity: odd-extension edge padding + steady-state initial conditions).
+    The effective magnitude response is squared; phase is exactly zero."""
+    sos = np.asarray(sos, dtype=np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be [n_sections, 6], got {sos.shape}")
+    n_sections = sos.shape[0]
+    if padlen is None:
+        ntaps = 2 * n_sections + 1
+        ntaps -= min(
+            int((sos[:, 2] == 0).sum()), int((sos[:, 5] == 0).sum())
+        )
+        padlen = 3 * ntaps
+    x = jnp.asarray(x, jnp.float32)
+    t = x.shape[-1]
+    if padlen >= t:
+        raise ValueError(
+            f"padlen ({padlen}) must be < signal length ({t})"
+        )
+    batch_shape = x.shape[:-1]
+    zi_base = jnp.asarray(sosfilt_zi(sos), jnp.float32)  # [S, 2]
+    zi_b = jnp.broadcast_to(
+        zi_base[(slice(None),) + (None,) * len(batch_shape)],
+        (n_sections,) + batch_shape + (2,),
+    )
+
+    if padlen > 0:  # odd extension about both endpoints
+        left = 2.0 * x[..., :1] - x[..., padlen:0:-1]
+        right = 2.0 * x[..., -1:] - x[..., -2: -padlen - 2: -1]
+        ext = jnp.concatenate([left, x, right], axis=-1)
+    else:
+        ext = x
+    def scaled_zi(first):  # first: [batch] -> [S, *batch, 1] broadcast
+        return zi_b * first[None, ..., None]
+
+    y, _ = sosfilt(sos, ext, zi=scaled_zi(ext[..., 0]))
+    y = y[..., ::-1]
+    y, _ = sosfilt(sos, y, zi=scaled_zi(y[..., 0]))
+    y = y[..., ::-1]
+    if padlen > 0:
+        y = y[..., padlen:-padlen]
     return y
 
 

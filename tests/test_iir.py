@@ -9,7 +9,13 @@ import numpy as np
 import pytest
 import scipy.signal
 
-from crlot_tpu.iir import butter_sos, lfilter, sosfilt
+from crlot_tpu.iir import (
+    butter_sos,
+    lfilter,
+    sosfilt,
+    sosfilt_zi,
+    sosfiltfilt,
+)
 from crlot_tpu.metrics import snr_db
 
 
@@ -94,6 +100,66 @@ def test_sosfilt_validation():
     sos = scipy.signal.butter(4, 0.2, output="sos")
     with pytest.raises(ValueError):
         sosfilt(sos, _noise(64), zi=np.zeros((1, 2), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# sosfilt_zi / sosfiltfilt vs scipy
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("order", [2, 4, 7])
+def test_sosfilt_zi_matches_scipy(order):
+    sos = scipy.signal.butter(order, 0.22, output="sos")
+    np.testing.assert_allclose(
+        sosfilt_zi(sos), scipy.signal.sosfilt_zi(sos), rtol=1e-10
+    )
+
+
+def test_sosfilt_zi_step_has_no_transient():
+    sos = scipy.signal.butter(4, 0.2, output="sos")
+    step = np.ones(256, np.float32)
+    zi = np.asarray(sosfilt_zi(sos), np.float32)
+    y, _ = sosfilt(sos, step, zi=zi)
+    np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("order", [2, 4])
+def test_sosfiltfilt_matches_scipy(order):
+    sos = scipy.signal.butter(order, 0.2, output="sos")
+    x = _noise(16384, seed=8)
+    want = scipy.signal.sosfiltfilt(sos, x.astype(np.float64))
+    got = np.asarray(sosfiltfilt(sos, x))
+    assert snr_db(want.astype(np.float32), got) > 70.0
+
+
+def test_sosfiltfilt_zero_phase():
+    # A passband tone must come out with zero group delay (forward pass
+    # alone delays it). Compare phase via cross-correlation peak.
+    sr = 48000
+    t = np.arange(sr // 2) / sr
+    x = np.sin(2 * np.pi * 500 * t).astype(np.float32)
+    sos = scipy.signal.butter(4, 0.1, output="sos")
+    y = np.asarray(sosfiltfilt(sos, x))
+    mid = slice(sr // 8, 3 * sr // 8)
+    lag = np.argmax(np.correlate(y[mid], x[mid], mode="full"))
+    assert lag == len(x[mid]) - 1  # zero shift
+    y_fwd = np.asarray(sosfilt(sos, x))
+    lag_f = np.argmax(np.correlate(y_fwd[mid], x[mid], mode="full"))
+    assert lag_f != len(x[mid]) - 1  # forward-only IS delayed
+
+
+def test_sosfiltfilt_batched_matches_single():
+    sos = scipy.signal.butter(4, 0.25, output="sos")
+    x = np.stack([_noise(4096, seed=i) for i in range(3)])
+    got = np.asarray(sosfiltfilt(sos, x))
+    for i in range(3):
+        one = np.asarray(sosfiltfilt(sos, x[i]))
+        np.testing.assert_allclose(got[i], one, rtol=1e-4, atol=1e-6)
+
+
+def test_sosfiltfilt_padlen_validation():
+    sos = scipy.signal.butter(4, 0.25, output="sos")
+    with pytest.raises(ValueError):
+        sosfiltfilt(sos, _noise(12))  # default padlen (15) >= signal length
 
 
 # ---------------------------------------------------------------------------
