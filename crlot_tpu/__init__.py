@@ -32,6 +32,8 @@ from .window.windows import get_window
 from .resample.polyphase import resample, resample_chunked
 from .convolve import convolve
 from .features import (
+    envelope,
+    instantaneous_frequency,
     mel_filterbank,
     mel_spectrogram,
     mfcc,

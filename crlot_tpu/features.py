@@ -275,6 +275,46 @@ def spectral_rolloff(signal: jnp.ndarray, cfg: StftConfig, sr: float,
     return f[idx]
 
 
+# ---------------------------------------------------------------------------
+# analytic signal (Hilbert) utilities
+# ---------------------------------------------------------------------------
+
+def _analytic(x: jnp.ndarray) -> jnp.ndarray:
+    """Analytic signal via the frequency-domain Hilbert construction
+    (scipy.signal.hilbert): one-sided spectrum doubling, complex ifft.
+    Complex stays INSIDE jit (axon backend constraint) — callers return
+    real reductions of it."""
+    t = x.shape[-1]
+    spec = jnp.fft.fft(x, axis=-1)
+    h = np.zeros(t)
+    h[0] = 1.0
+    if t % 2 == 0:
+        h[t // 2] = 1.0
+        h[1 : t // 2] = 2.0
+    else:
+        h[1 : (t + 1) // 2] = 2.0
+    return jnp.fft.ifft(spec * jnp.asarray(h), axis=-1)
+
+
+@jax.jit
+def envelope(signal: jnp.ndarray) -> jnp.ndarray:
+    """Instantaneous amplitude |analytic(x)| of `[..., T]` (the Hilbert
+    envelope; matches abs(scipy.signal.hilbert(x)))."""
+    return jnp.abs(_analytic(jnp.asarray(signal, jnp.float32)))
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def instantaneous_frequency(signal: jnp.ndarray, sr: float) -> jnp.ndarray:
+    """Instantaneous frequency (Hz) of `[..., T] -> [..., T-1]`: the
+    wrapped first difference of the analytic phase. Uses the conjugate-
+    product formulation angle(a[t+1] * conj(a[t])) — already wrapped to
+    (-pi, pi], so no explicit unwrap pass is needed."""
+    a = _analytic(jnp.asarray(signal, jnp.float32))
+    prod = a[..., 1:] * jnp.conj(a[..., :-1])
+    dphi = jnp.arctan2(prod.imag, prod.real)
+    return dphi * (sr / (2.0 * np.pi))
+
+
 @partial(jax.jit, static_argnames=("cfg", "eps"))
 def spectral_flatness(signal: jnp.ndarray, cfg: StftConfig,
                       eps: float = 1e-10) -> jnp.ndarray:

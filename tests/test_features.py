@@ -249,6 +249,41 @@ def test_flatness_tone_vs_noise():
     assert np.all(flat_noise > 0.3) and np.all(flat_noise < 0.9)
 
 
+def test_envelope_matches_scipy_hilbert():
+    import scipy.signal as ss
+
+    x = _tone(440.0, seconds=0.25) * np.hanning(SR // 4).astype(np.float32)
+    from crlot_tpu.features import envelope
+
+    got = np.asarray(envelope(x))
+    want = np.abs(ss.hilbert(x.astype(np.float64)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.parametrize("n", [4096, 4097])  # even + odd length paths
+def test_envelope_am_tone(n):
+    # AM tone: envelope must recover the modulator (interior, away from
+    # the Hilbert edge transients).
+    from crlot_tpu.features import envelope
+
+    t = np.arange(n) / SR
+    mod = 1.0 + 0.5 * np.sin(2 * np.pi * 13.0 * t)
+    x = (mod * np.sin(2 * np.pi * 3000.0 * t)).astype(np.float32)
+    env = np.asarray(envelope(x))[n // 8 : -n // 8]
+    want = mod[n // 8 : -n // 8]
+    assert np.max(np.abs(env - want)) < 0.02
+
+
+def test_instantaneous_frequency_of_tone():
+    from crlot_tpu.features import instantaneous_frequency
+
+    freq = 2500.0
+    x = _tone(freq, seconds=0.25)
+    f = np.asarray(instantaneous_frequency(x, float(SR)))
+    interior = f[SR // 50 : -SR // 50]
+    assert np.all(np.abs(interior - freq) < 1.0)
+
+
 def test_power_to_db_floor():
     p = jnp.asarray([0.0, 1.0, 100.0], jnp.float32)
     db = np.asarray(power_to_db(p, floor_db=-100.0))
