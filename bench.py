@@ -88,11 +88,7 @@ def _mxu_probe_chain():
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
 
-    def chained(k, c):
-        y = jax.lax.fori_loop(0, k, lambda _, cc: one(cc), c)
-        return jnp.sum(y.astype(jnp.float32))
-
-    return jax.jit(chained), m, 2.0 * n * n * n
+    return _timed_chain_dyn(one), m, 2.0 * n * n * n
 
 
 def _hbm_probe_chain():
@@ -104,20 +100,15 @@ def _hbm_probe_chain():
     pure matmuls still run at ~full rate — which is exactly what the two
     probes together disambiguate. Returns (jit_fn, operand,
     bytes_per_iter)."""
-    import jax
     import jax.numpy as jnp
 
     n = 32 * 1024 * 1024  # 128 MB f32: far beyond VMEM, forced HBM traffic
     x = jnp.zeros((n,), jnp.float32)
 
-    def chained(k, c):
-        def body(_, cc):
-            return cc * jnp.float32(1.0000001) + jnp.float32(1e-7)
+    def one(c):
+        return c * jnp.float32(1.0000001) + jnp.float32(1e-7)
 
-        y = jax.lax.fori_loop(0, k, body, c)
-        return jnp.sum(y)
-
-    return jax.jit(chained), x, 2.0 * 4.0 * n  # read + write per iter
+    return _timed_chain_dyn(one), x, 2.0 * 4.0 * n  # read + write per iter
 
 
 def _burst(f, x, k_small, k_big, reps):
@@ -196,21 +187,36 @@ def main() -> None:
     float(f(1, x))  # the ONE big compile + warm
     log("chain program compiled")
 
-    # Chip-duty calibration probe: a raw bf16 matmul chain measured in the
-    # SAME window as each pipeline burst. bf16_peak is the spec the roofline
-    # model's compute bound derives from; duty = measured/spec tells whether
-    # a sub-90% reading is the pipeline's fault or a time-shared window.
-    probe_f, probe_m, probe_flops = _mxu_probe_chain()
-    float(probe_f(1, probe_m))
-    hbm_f, hbm_x, hbm_bytes = _hbm_probe_chain()
-    float(hbm_f(1, hbm_x))
+    # Chip-duty calibration probes: a raw bf16 matmul chain and a pure HBM
+    # streaming chain measured in the SAME window as each best pipeline
+    # burst; duty = measured/spec tells whether a sub-90% reading is the
+    # pipeline's fault or a contended window. Compiled LAZILY on first use
+    # (i.e. only after a pipeline burst already measured, in a window known
+    # to be serving) and fault-tolerant: a probe compile hang/error must
+    # never cost the headline measurement itself.
     hbm_peak, bf16_peak, _ = device_specs()
-    log("mxu + hbm probes compiled")
+    probes = {"state": "cold"}  # cold -> ready | failed
 
     def measure_duty():
         """(mxu_duty, hbm_duty), each None if unmeasurable this window."""
-        mxu = _burst(probe_f, probe_m, k_small, k_big, reps=6)
-        hbm = _burst(hbm_f, hbm_x, k_small, k_big, reps=6)
+        if probes["state"] == "failed":
+            return None, None
+        try:
+            if probes["state"] == "cold":
+                probes["mxu"] = _mxu_probe_chain()
+                float(probes["mxu"][0](1, probes["mxu"][1]))
+                probes["hbm"] = _hbm_probe_chain()
+                float(probes["hbm"][0](1, probes["hbm"][1]))
+                probes["state"] = "ready"
+                log("duty probes compiled")
+            probe_f, probe_m, probe_flops = probes["mxu"]
+            hbm_f, hbm_x, hbm_bytes = probes["hbm"]
+            mxu = _burst(probe_f, probe_m, k_small, k_big, reps=6)
+            hbm = _burst(hbm_f, hbm_x, k_small, k_big, reps=6)
+        except Exception as e:  # tunnel HTTP 500 / UNIMPLEMENTED etc.
+            log(f"duty probes unavailable: {type(e).__name__}: {e}")
+            probes["state"] = "failed"
+            return None, None
         mxu_d = (probe_flops / mxu) / bf16_peak if mxu else None
         hbm_d = (hbm_bytes / hbm) / hbm_peak if hbm else None
         return mxu_d, hbm_d
@@ -314,7 +320,11 @@ def main() -> None:
                 if sps > state["best_sps"]:
                     state["best_sps"] = sps
                     state["best_per_iter"] = per_iter
-                    # Co-measure the resource rates this window serves.
+                    # Stale duty from a previous window must never be
+                    # paired with this burst (a SIGTERM inside
+                    # measure_duty would otherwise emit mismatched
+                    # context) — clear first, then co-measure.
+                    state["best_duty"] = (None, None)
                     mxu_d, hbm_d = measure_duty()
                     state["best_duty"] = (mxu_d, hbm_d)
                     log("  window duty: mxu "

@@ -5,7 +5,7 @@ filterbank matmul, dB, and the DCT matmul — runs as one jitted program of
 MXU matmuls per channel.
 
 Usage: python examples/extract_features.py in.wav out.npz [--n-mels 64]
-                                           [--n-mfcc 13] [--band-energy]
+                                           [--n-mfcc 13]
 """
 
 import argparse

@@ -56,7 +56,24 @@ else
 fi
 
 echo "== headline bench =="
-# Regime-aware: bench.py samples within CRLOT_BENCH_BUDGET_S (default 2400 s,
-# early exit on the first full-rate window) and emits best-so-far on SIGTERM,
-# so one attempt with headroom beats retries that would each recompile.
-retry 2700 1 python bench.py | tee "$OUT/bench.json"
+# Regime-aware: bench.py samples within CRLOT_BENCH_BUDGET_S (early exit on
+# the first full-rate window) and emits best-so-far on SIGTERM. Success is
+# "a JSON line landed in bench.json", NOT the exit status: GNU timeout
+# returns 124 even when the SIGTERM handler emitted and exited 0. Two
+# attempts keep the compile-hang-window recovery path (a hang during the
+# initial compile produces nothing and needs a fresh window).
+for attempt in 1 2; do
+  : > "$OUT/bench.json"
+  if CRLOT_BENCH_BUDGET_S="${CRLOT_BENCH_BUDGET_S:-1200}" \
+      timeout 1500 python bench.py > "$OUT/bench.json"; then
+    break
+  fi
+  if [ -s "$OUT/bench.json" ]; then
+    echo "headline bench: timed out but emitted best-so-far" >&2
+    break
+  fi
+  echo "headline bench attempt $attempt: no result (hang window?)" >&2
+  sleep 5
+done
+cat "$OUT/bench.json"
+[ -s "$OUT/bench.json" ] || { echo "headline bench: FAILED" >&2; exit 1; }

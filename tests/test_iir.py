@@ -53,7 +53,7 @@ def test_sosfilt_impulse_response():
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
-def test_sosfilt_zi_matches_scipy():
+def test_sosfilt_zi_state_carry_matches_scipy():
     sos = scipy.signal.butter(4, 0.2, output="sos")
     rng = np.random.default_rng(2)
     x = rng.standard_normal(4096).astype(np.float32)
