@@ -44,7 +44,15 @@ from .features import (
     spectral_rolloff,
 )
 from .griffinlim import griffin_lim, stft_magnitude
-from .iir import butter_sos, lfilter, sosfilt, sosfilt_zi, sosfiltfilt
+from .iir import (
+    a_weighting_sos,
+    butter_sos,
+    c_weighting_sos,
+    lfilter,
+    sosfilt,
+    sosfilt_zi,
+    sosfiltfilt,
+)
 from .psd import coherence, welch_freqs, welch_psd
 from .streaming_pipeline import process_wav_file, streaming_round_trip
 from .vocoder import pitch_shift, time_stretch

@@ -35,7 +35,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sosfilt", "sosfilt_zi", "sosfiltfilt", "lfilter", "butter_sos"]
+__all__ = [
+    "sosfilt",
+    "sosfilt_zi",
+    "sosfiltfilt",
+    "lfilter",
+    "butter_sos",
+    "a_weighting_sos",
+    "c_weighting_sos",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +273,67 @@ def sosfiltfilt(
 
 
 # ---------------------------------------------------------------------------
-# Butterworth designer (host, float64 numpy; scipy.signal.butter parity)
+# shared zpk -> digital SOS machinery (host, float64 numpy)
+# ---------------------------------------------------------------------------
+
+def _bilinear_zpk_to_sos(z, p, k, fs):
+    """Analog zpk -> digital `[n_sections, 6]` SOS via the bilinear
+    transform s -> 2*fs*(z-1)/(z+1), then conjugate-adjacent pairing.
+
+    Pairing keeps conjugate pairs adjacent (sorted by |imag| descending,
+    real roots last); exact for the designs here (identical zeros, or all
+    roots real) — this is not scipy's general nearest-pole-zero pairing.
+    """
+    z = np.asarray(z, dtype=complex)
+    p = np.asarray(p, dtype=complex)
+    c2 = 2.0 * fs  # the transform constant is 2*fs, NOT fs itself
+    k = k * np.real(np.prod(c2 - z) / np.prod(c2 - p))
+    z_d = (c2 + z) / (c2 - z)
+    p_d = (c2 + p) / (c2 - p)
+    z_d = np.concatenate([z_d, -np.ones(len(p) - len(z))])
+
+    def key(q):
+        return (abs(q.imag) < 1e-12, -abs(q.imag), q.real)
+
+    p_sorted = sorted(p_d, key=key)
+    z_sorted = sorted(z_d, key=key)
+    n = len(p_sorted)
+    sections = []
+    i = 0
+    while i < n:
+        # Two at a time is always safe: the sort puts conjugate pairs
+        # adjacent (shared |imag| and real part) and real roots last, so a
+        # window of two is either a conjugate pair or two reals — both
+        # yield real biquad coefficients. A final odd leftover (odd-order
+        # designs) becomes a first-order section.
+        take = 2 if i + 1 < n else 1
+        pp = np.array(p_sorted[i : i + take])
+        zz = np.array(z_sorted[i : i + take])
+        i += take
+        bq = np.real(np.poly(zz))
+        aq = np.real(np.poly(pp))
+        if len(pp) == 1:  # first-order section, pad to biquad layout
+            bq = np.append(bq, 0.0)
+            aq = np.append(aq, 0.0)
+        sections.append(np.concatenate([bq, aq]))
+    sos = np.array(sections, dtype=np.float64)
+    sos[0, :3] *= k  # overall gain into the first section's numerator
+    return sos
+
+
+def _sos_gain_at(sos: np.ndarray, freq: float, fs: float) -> float:
+    """|H(e^{j 2 pi freq/fs})| of a digital SOS cascade (host f64)."""
+    zinv = np.exp(-2j * np.pi * freq / fs)
+    h = 1.0 + 0.0j
+    for s in np.asarray(sos, dtype=np.float64):
+        num = s[0] + s[1] * zinv + s[2] * zinv * zinv
+        den = s[3] + s[4] * zinv + s[5] * zinv * zinv
+        h *= num / den
+    return float(np.abs(h))
+
+
+# ---------------------------------------------------------------------------
+# Butterworth designer (scipy.signal.butter parity)
 # ---------------------------------------------------------------------------
 
 def butter_sos(
@@ -310,36 +378,47 @@ def butter_sos(
         p = warped / p
         z = np.zeros(order, dtype=complex)
 
-    # Bilinear transform s -> 2*fs*(z-1)/(z+1); the transform constant is
-    # 2*fs (= 4 with the fs=2 normalization), NOT fs itself.
-    c2 = 2.0 * fs2
-    k *= np.real(np.prod(c2 - z) / np.prod(c2 - p))
-    z_d = (c2 + z) / (c2 - z)
-    p_d = (c2 + p) / (c2 - p)
-    z_d = np.concatenate([z_d, -np.ones(order - len(z_d))])
+    return _bilinear_zpk_to_sos(z, p, k, fs2)
 
-    # Pair into second-order sections. All finite zeros are identical
-    # (+1 for highpass, -1 for lowpass) so pairing is free: sort poles so
-    # conjugates are adjacent (by imag magnitude, real pole last for odd
-    # order), take them two at a time.
-    p_sorted = sorted(p_d, key=lambda q: (abs(q.imag) < 1e-12, -abs(q.imag)))
-    sections = []
-    i = 0
-    while i < order:
-        if i + 1 < order and abs(p_sorted[i].imag) > 1e-12:
-            pp = np.array([p_sorted[i], p_sorted[i + 1]])
-            zz = z_d[i:i + 2]
-            i += 2
-        else:
-            pp = np.array([p_sorted[i]])
-            zz = z_d[i:i + 1]
-            i += 1
-        bq = np.real(np.poly(zz))
-        aq = np.real(np.poly(pp))
-        if len(pp) == 1:  # first-order section, pad to biquad layout
-            bq = np.append(bq, 0.0)
-            aq = np.append(aq, 0.0)
-        sections.append(np.concatenate([bq, aq]))
-    sos = np.array(sections, dtype=np.float64)
-    sos[0, :3] *= k  # overall gain into the first section's numerator
+
+# ---------------------------------------------------------------------------
+# IEC 61672 loudness-weighting designers
+# ---------------------------------------------------------------------------
+
+# Analog corner frequencies (Hz) shared by the A and C curves.
+_W1 = 2.0 * np.pi * 20.598997
+_W2 = 2.0 * np.pi * 107.65265
+_W3 = 2.0 * np.pi * 737.86223
+_W4 = 2.0 * np.pi * 12194.217
+
+
+def a_weighting_sos(fs: float) -> np.ndarray:
+    """IEC 61672 A-weighting filter as digital `[3, 6]` SOS (float64).
+
+    Analog prototype: H(s) = k s^4 / ((s+w1)^2 (s+w2) (s+w3) (s+w4)^2),
+    bilinear-transformed at `fs` and renormalized to exactly 0 dB at
+    1 kHz digitally (so the 1 kHz reference holds despite frequency
+    warping). Accuracy vs the analog curve degrades above ~fs/6 as any
+    bilinear design does; use fs >= 44.1 kHz for class-1-like accuracy.
+    """
+    if fs <= 2000.0:
+        raise ValueError(f"fs must be > 2000 Hz for a 1 kHz reference, "
+                         f"got {fs}")
+    z = np.zeros(4, dtype=complex)
+    p = np.array([-_W1, -_W1, -_W2, -_W3, -_W4, -_W4], dtype=complex)
+    sos = _bilinear_zpk_to_sos(z, p, 1.0, fs)
+    sos[0, :3] /= _sos_gain_at(sos, 1000.0, fs)
+    return sos
+
+
+def c_weighting_sos(fs: float) -> np.ndarray:
+    """IEC 61672 C-weighting filter as digital `[2, 6]` SOS (float64):
+    H(s) = k s^2 / ((s+w1)^2 (s+w4)^2), 0 dB at 1 kHz digitally."""
+    if fs <= 2000.0:
+        raise ValueError(f"fs must be > 2000 Hz for a 1 kHz reference, "
+                         f"got {fs}")
+    z = np.zeros(2, dtype=complex)
+    p = np.array([-_W1, -_W1, -_W4, -_W4], dtype=complex)
+    sos = _bilinear_zpk_to_sos(z, p, 1.0, fs)
+    sos[0, :3] /= _sos_gain_at(sos, 1000.0, fs)
     return sos

@@ -10,7 +10,9 @@ import pytest
 import scipy.signal
 
 from crlot_tpu.iir import (
+    a_weighting_sos,
     butter_sos,
+    c_weighting_sos,
     lfilter,
     sosfilt,
     sosfilt_zi,
@@ -240,6 +242,106 @@ def test_butter_sos_validation():
         butter_sos(2, 1.5)
     with pytest.raises(ValueError):
         butter_sos(2, 0.5, btype="bandpass")
+
+
+# ---------------------------------------------------------------------------
+# IEC 61672 weighting designers
+# ---------------------------------------------------------------------------
+
+def _analog_a_raw(f):
+    """IEC 61672 A-weighting analog magnitude in dB, unnormalized (the
+    standard's own closed form), as the oracle for the digital design."""
+    f = np.asarray(f, dtype=np.float64)
+    f2 = f * f
+    num = (12194.217 ** 2) * f2 * f2
+    den = (
+        (f2 + 20.598997 ** 2)
+        * np.sqrt((f2 + 107.65265 ** 2) * (f2 + 737.86223 ** 2))
+        * (f2 + 12194.217 ** 2)
+    )
+    return 20.0 * np.log10(num / den)
+
+
+def _analog_a_db(f):
+    # Normalized exactly the way the digital design is: 0 dB at 1 kHz.
+    return _analog_a_raw(f) - _analog_a_raw(1000.0)
+
+
+def _analog_c_raw(f):
+    f = np.asarray(f, dtype=np.float64)
+    f2 = f * f
+    num = (12194.217 ** 2) * f2
+    den = (f2 + 20.598997 ** 2) * (f2 + 12194.217 ** 2)
+    return 20.0 * np.log10(num / den)
+
+
+def _analog_c_db(f):
+    return _analog_c_raw(f) - _analog_c_raw(1000.0)
+
+
+def _digital_db(sos, f, fs):
+    w, h = scipy.signal.sosfreqz(sos, worN=2 * np.pi * np.atleast_1d(f) / fs)
+    return 20.0 * np.log10(np.abs(h))
+
+
+@pytest.mark.parametrize("fs", [44100.0, 48000.0, 96000.0])
+def test_a_weighting_matches_analog_curve(fs):
+    sos = a_weighting_sos(fs)
+    assert sos.shape == (3, 6)
+    # Exactly 0 dB at the 1 kHz reference by construction.
+    assert abs(_digital_db(sos, 1000.0, fs)[0]) < 1e-9
+    freqs = np.array([31.5, 63.0, 125.0, 250.0, 500.0, 1000.0, 2000.0,
+                      4000.0])
+    got = _digital_db(sos, freqs, fs)
+    want = _analog_a_db(freqs)
+    # Below fs/6 the bilinear warp is negligible (IEC class-1 band is
+    # wider than this tolerance everywhere).
+    np.testing.assert_allclose(got, want, atol=0.06)
+    # 8 kHz / 16 kHz: warping grows with f/fs; class-2 tolerances there
+    # are +-2.5 / +5,-inf dB.
+    assert abs(_digital_db(sos, 8000.0, fs)[0] - _analog_a_db(8000.0)) < 1.0
+
+
+def test_a_weighting_iec_spot_values():
+    # Published table values (rounded to 0.1 dB) at 48 kHz.
+    sos = a_weighting_sos(48000.0)
+    for f, want in [(31.5, -39.4), (125.0, -16.1), (500.0, -3.2),
+                    (2000.0, 1.2), (4000.0, 1.0)]:
+        got = _digital_db(sos, f, 48000.0)[0]
+        assert abs(got - want) < 0.15, (f, got, want)
+
+
+@pytest.mark.parametrize("fs", [44100.0, 48000.0])
+def test_c_weighting_matches_analog_curve(fs):
+    sos = c_weighting_sos(fs)
+    assert sos.shape == (2, 6)
+    assert abs(_digital_db(sos, 1000.0, fs)[0]) < 1e-9
+    freqs = np.array([31.5, 125.0, 1000.0, 4000.0])
+    np.testing.assert_allclose(
+        _digital_db(sos, freqs, fs), _analog_c_db(freqs), atol=0.1
+    )
+
+
+def test_weighting_filters_run_through_sosfilt():
+    # End-to-end: A-weighted level of a 100 Hz tone is ~19 dB below the
+    # same-amplitude 1 kHz tone (table: A(100) = -19.1 dB).
+    sr = 48000
+    t = np.arange(sr) / sr
+    sos = a_weighting_sos(float(sr))
+    lvl = {}
+    for f in (100.0, 1000.0):
+        x = np.sin(2 * np.pi * f * t).astype(np.float32)
+        y = np.asarray(sosfilt(sos, x))[sr // 4:]
+        lvl[f] = 20 * np.log10(np.std(y) / np.std(x[sr // 4:]))
+    assert abs(lvl[1000.0]) < 0.1
+    assert abs(lvl[100.0] - (-19.1)) < 0.3
+
+
+def test_weighting_validation():
+    with pytest.raises(ValueError):
+        a_weighting_sos(1000.0)
+    with pytest.raises(ValueError):
+        c_weighting_sos(500.0)
 
 
 def test_designed_filter_end_to_end():
