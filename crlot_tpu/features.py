@@ -276,6 +276,86 @@ def spectral_rolloff(signal: jnp.ndarray, cfg: StftConfig, sr: float,
 
 
 # ---------------------------------------------------------------------------
+# inversion: MFCC -> mel -> linear power -> audio
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_mels", "floor_db"))
+def mfcc_to_mel(coeffs: jnp.ndarray, n_mels: int = 64,
+                floor_db: float = -100.0) -> jnp.ndarray:
+    """Invert `mfcc`: `[..., F, n_mfcc] -> [..., F, n_mels]` mel POWER.
+
+    The DCT-II is orthonormal, so truncation to n_mfcc coefficients makes
+    this the least-squares inverse (exact when n_mfcc == n_mels); the dB
+    log is inverted exactly down to its floor."""
+    n_mfcc = coeffs.shape[-1]
+    if n_mfcc > n_mels:
+        raise ValueError(f"n_mfcc ({n_mfcc}) must be <= n_mels ({n_mels})")
+    dct = _dct_ii_ortho(n_mfcc, n_mels)
+    logmel = coeffs @ jnp.asarray(dct)  # orthonormal => transpose inverse
+    return jnp.power(10.0, jnp.clip(logmel, floor_db, None) / 10.0)
+
+
+@partial(jax.jit, static_argnames=(
+    "sr", "n_fft", "n_mels", "fmin", "fmax", "htk", "norm", "iters"))
+def mel_to_linear(
+    mel_power: jnp.ndarray,
+    sr: float,
+    n_fft: int,
+    n_mels: int = 64,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+    norm: Optional[str] = "slaney",
+    iters: int = 32,
+) -> jnp.ndarray:
+    """Approximately invert the mel filterbank:
+    `[..., F, n_mels] -> [..., F, n_fft//2+1]` nonnegative linear power.
+
+    Solves min ||fb @ s - mel||_2 with s >= 0 per frame by multiplicative
+    (Lee-Seung) updates — every step is a pair of `[K, n_mels]` matmuls,
+    so the whole solver is `iters` MXU passes inside one jit (the NNLS
+    analog of librosa.feature.inverse.mel_to_stft)."""
+    fb = jnp.asarray(
+        mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk, norm)
+    )  # [M, K]
+    mel_power = jnp.maximum(jnp.asarray(mel_power), 0.0)
+    eps = jnp.float32(1e-12)
+    num = mel_power @ fb  # fb^T applied per frame (row convention); fixed
+    s = num  # transpose-map init: nonnegative, right support
+
+    def body(_, s):
+        den = (s @ fb.T) @ fb + eps
+        return s * num / den
+
+    return jax.lax.fori_loop(0, iters, body, s)
+
+
+def mel_to_audio(
+    mel_power: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    n_mels: int = 64,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+    norm: Optional[str] = "slaney",
+    nnls_iters: int = 32,
+    gl_iters: int = 32,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """Mel power spectrogram -> waveform: NNLS filterbank inversion
+    (`mel_to_linear`) then Griffin-Lim phase reconstruction. The standard
+    neural-vocoder-free mel inversion path (librosa mel_to_audio analog),
+    built entirely from this framework's matmul DFT + OLA."""
+    from .griffinlim import griffin_lim
+
+    p = mel_to_linear(mel_power, sr, cfg.frame_size, n_mels, fmin, fmax,
+                      htk, norm, iters=nnls_iters)
+    mag = jnp.sqrt(jnp.maximum(p, 0.0))
+    return griffin_lim(mag, cfg, iters=gl_iters, length=length)
+
+
+# ---------------------------------------------------------------------------
 # analytic signal (Hilbert) utilities
 # ---------------------------------------------------------------------------
 

@@ -249,6 +249,67 @@ def test_flatness_tone_vs_noise():
     assert np.all(flat_noise > 0.3) and np.all(flat_noise < 0.9)
 
 
+# ---------------------------------------------------------------------------
+# inversion: mfcc_to_mel / mel_to_linear / mel_to_audio
+# ---------------------------------------------------------------------------
+
+def test_mfcc_to_mel_full_coeffs_exact():
+    from crlot_tpu.features import mfcc_to_mel
+
+    x = np.random.default_rng(6).standard_normal(SR // 4).astype(np.float32)
+    logmel = np.asarray(
+        power_to_db(mel_spectrogram(x, CFG, SR, n_mels=32))
+    )
+    c = np.asarray(mfcc(x, CFG, SR, n_mfcc=32, n_mels=32))
+    back = np.asarray(mfcc_to_mel(c, n_mels=32))
+    want = 10.0 ** (logmel / 10.0)
+    np.testing.assert_allclose(back, want, rtol=2e-3, atol=1e-7)
+
+
+def test_mfcc_to_mel_truncated_is_smoothed():
+    from crlot_tpu.features import mfcc_to_mel
+
+    x = np.random.default_rng(7).standard_normal(SR // 4).astype(np.float32)
+    c = np.asarray(mfcc(x, CFG, SR, n_mfcc=13, n_mels=40))
+    back = np.asarray(mfcc_to_mel(c, n_mels=40))
+    assert back.shape[-1] == 40 and np.all(back >= 0)
+    with pytest.raises(ValueError):
+        mfcc_to_mel(c, n_mels=8)
+
+
+def test_mel_to_linear_nnls_residual():
+    from crlot_tpu.features import mel_to_linear
+
+    x = np.random.default_rng(8).standard_normal(SR // 4).astype(np.float32)
+    mel = np.asarray(mel_spectrogram(x, CFG, SR, n_mels=64))
+    lin = np.asarray(
+        mel_to_linear(mel, SR, CFG.frame_size, n_mels=64, iters=64)
+    )
+    assert np.all(lin >= 0)
+    fb = mel_filterbank(SR, CFG.frame_size, 64)
+    resid = np.linalg.norm(lin @ fb.T - mel) / np.linalg.norm(mel)
+    # NNLS in the mel domain converges tightly (the null-space of fb is
+    # unconstrained; only the projection is testable).
+    assert resid < 0.02
+
+
+def test_mel_to_audio_recovers_tone_pitch():
+    from crlot_tpu.features import mel_to_audio
+
+    freq = 1500.0
+    x = _tone(freq, seconds=0.35)
+    mel = np.asarray(mel_spectrogram(x, CFG, SR, n_mels=128))
+    y = np.asarray(
+        mel_to_audio(mel, CFG, SR, n_mels=128, gl_iters=16,
+                     length=len(x))
+    )
+    assert y.shape == x.shape and np.all(np.isfinite(y))
+    spec = np.abs(np.fft.rfft(y[SR // 8 : SR // 4] *
+                              np.hanning(SR // 8)))
+    f_peak = np.argmax(spec) * SR / (SR // 8)
+    assert abs(f_peak - freq) < 60.0  # within a mel band at 1.5 kHz
+
+
 def test_envelope_matches_scipy_hilbert():
     import scipy.signal as ss
 
