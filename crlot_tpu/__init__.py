@@ -36,7 +36,10 @@ from .features import (
     instantaneous_frequency,
     mel_filterbank,
     mel_spectrogram,
+    mel_to_audio,
+    mel_to_linear,
     mfcc,
+    mfcc_to_mel,
     power_to_db,
     spectral_bandwidth,
     spectral_centroid,

@@ -1,5 +1,7 @@
 """Spectral features on the framed MXU DFT: mel filterbank / mel
-spectrogram / MFCC and the classic spectral descriptors.
+spectrogram / MFCC, the classic spectral descriptors, analytic-signal
+utilities, and the inversion path back to audio (mfcc_to_mel ->
+mel_to_linear NNLS -> Griffin-Lim).
 
 The reference toolkit stops at the raw spectrum (its demo prints a top-10
 peak table, main/main.cc:186-208); a framework user coming from it for
