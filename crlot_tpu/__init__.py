@@ -33,6 +33,7 @@ from .resample.polyphase import resample, resample_chunked
 from .convolve import convolve
 from .features import (
     envelope,
+    frame_rms,
     instantaneous_frequency,
     mel_filterbank,
     mel_spectrogram,
@@ -45,6 +46,7 @@ from .features import (
     spectral_centroid,
     spectral_flatness,
     spectral_rolloff,
+    zero_crossing_rate,
 )
 from .griffinlim import griffin_lim, stft_magnitude
 from .iir import (

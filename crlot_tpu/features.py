@@ -397,6 +397,29 @@ def instantaneous_frequency(signal: jnp.ndarray, sr: float) -> jnp.ndarray:
     return dphi * (sr / (2.0 * np.pi))
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def frame_rms(signal: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
+    """Per-frame RMS level `[..., T] -> [..., F]` over the raw (unwindowed)
+    frames of `cfg`'s framing."""
+    from .frame.framing import frame_signal
+
+    frames = frame_signal(jnp.asarray(signal, jnp.float32), cfg.frame_spec)
+    return jnp.sqrt(jnp.mean(jnp.square(frames), axis=-1))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def zero_crossing_rate(signal: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
+    """Per-frame zero-crossing rate `[..., T] -> [..., F]` in [0, 1]:
+    fraction of adjacent sample pairs within the frame whose signs differ
+    (zero counts as nonnegative)."""
+    from .frame.framing import frame_signal
+
+    frames = frame_signal(jnp.asarray(signal, jnp.float32), cfg.frame_spec)
+    pos = frames >= 0
+    flips = pos[..., 1:] != pos[..., :-1]
+    return jnp.mean(flips.astype(jnp.float32), axis=-1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "eps"))
 def spectral_flatness(signal: jnp.ndarray, cfg: StftConfig,
                       eps: float = 1e-10) -> jnp.ndarray:

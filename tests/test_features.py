@@ -345,6 +345,28 @@ def test_instantaneous_frequency_of_tone():
     assert np.all(np.abs(interior - freq) < 1.0)
 
 
+def test_frame_rms_of_tone():
+    from crlot_tpu.features import frame_rms
+
+    x = 0.6 * _tone(997.0)  # off-bin tone, amplitude 0.6
+    r = np.asarray(frame_rms(x, CFG))[4:-4]
+    np.testing.assert_allclose(r, 0.6 / np.sqrt(2.0), atol=2e-3)
+
+
+def test_zero_crossing_rate():
+    from crlot_tpu.features import zero_crossing_rate
+
+    freq = 1200.0
+    z = np.asarray(zero_crossing_rate(_tone(freq), CFG))[4:-4]
+    # A sine crosses zero twice per period: rate = 2 f / sr.
+    np.testing.assert_allclose(z, 2.0 * freq / SR, atol=2e-3)
+    # Constant positive signal: no crossings (centered zero-pad edges
+    # excluded by the interior slice).
+    const = np.ones(8192, np.float32)
+    zc = np.asarray(zero_crossing_rate(const, CFG))[4:-4]
+    assert np.all(zc == 0.0)
+
+
 def test_power_to_db_floor():
     p = jnp.asarray([0.0, 1.0, 100.0], jnp.float32)
     db = np.asarray(power_to_db(p, floor_db=-100.0))
