@@ -90,6 +90,15 @@ def test_extract_features_example(small_wav, tmp_path):
     assert 100 < float(np.median(d["centroid"])) < 8000
 
 
+def test_loudness_example(small_wav):
+    r = _run("loudness.py", small_wav)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # 440 Hz tone + light noise: A-weighting at 440 Hz is ~ -4.8 dB, so
+    # the A-weighted level must sit below the unweighted one.
+    line = r.stdout.strip().splitlines()[-1]
+    assert "A-weighted" in line and "dBFS" in line, line
+
+
 def test_streaming_checkpoint_example(small_wav, tmp_path):
     out = str(tmp_path / "out.npy")
     ckpt = str(tmp_path / "stream.ckpt.npz")
