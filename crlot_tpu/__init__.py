@@ -35,6 +35,7 @@ from .features import (
     envelope,
     frame_rms,
     instantaneous_frequency,
+    lpc,
     mel_filterbank,
     mel_spectrogram,
     mel_to_audio,

@@ -278,6 +278,58 @@ def spectral_rolloff(signal: jnp.ndarray, cfg: StftConfig, sr: float,
 
 
 # ---------------------------------------------------------------------------
+# linear prediction
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "order", "eps"))
+def lpc(signal: jnp.ndarray, cfg: StftConfig, order: int = 16,
+        eps: float = 1e-9) -> jnp.ndarray:
+    """Per-frame LPC coefficients `[..., T] -> [..., F, order+1]` by the
+    autocorrelation method (Levinson-Durbin), windowed with `cfg`'s window.
+
+    Returns the all-pole polynomial A(z) = 1 + a_1 z^-1 + ... + a_p z^-p
+    minimizing the forward prediction error (a[..., 0] == 1; librosa.lpc
+    convention). The Levinson recursion runs as `order` vectorized steps
+    over all frames at once — order is tiny, frames are the parallel axis.
+    Silent frames return a[0]=1, rest 0 (eps-guarded error update)."""
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    if order >= cfg.frame_size:
+        raise ValueError(
+            f"order ({order}) must be < frame_size ({cfg.frame_size})"
+        )
+    from .frame.framing import frame_signal
+    from .window.windows import get_window
+
+    frames = frame_signal(jnp.asarray(signal, jnp.float32), cfg.frame_spec)
+    w = jnp.asarray(get_window(cfg.window, cfg.frame_size, cfg.periodic))
+    frames = frames * w
+    t = cfg.frame_size
+    # Autocorrelation lags 0..order (order+1 shifted dot products).
+    r = jnp.stack(
+        [jnp.sum(frames[..., : t - k] * frames[..., k:], axis=-1)
+         for k in range(order + 1)],
+        axis=-1,
+    )  # [..., F, order+1]
+
+    # Levinson-Durbin, vectorized over the leading (frame) axes.
+    a = [jnp.ones_like(r[..., 0])] + [jnp.zeros_like(r[..., 0])
+                                      for _ in range(order)]
+    err = r[..., 0]
+    for i in range(1, order + 1):
+        acc = r[..., i]
+        for j in range(1, i):
+            acc = acc + a[j] * r[..., i - j]
+        k = -acc / (err + eps)
+        new = [a[j] + k * a[i - j] for j in range(1, i)]
+        for j in range(1, i):
+            a[j] = new[j - 1]
+        a[i] = k
+        err = err * (1.0 - k * k)
+    return jnp.stack(a, axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # inversion: MFCC -> mel -> linear power -> audio
 # ---------------------------------------------------------------------------
 

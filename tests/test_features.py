@@ -250,6 +250,68 @@ def test_flatness_tone_vs_noise():
 
 
 # ---------------------------------------------------------------------------
+# LPC
+# ---------------------------------------------------------------------------
+
+def _lpc_oracle(frame, order):
+    """Solve the autocorrelation normal equations directly (f64)."""
+    t = len(frame)
+    r = np.array([np.dot(frame[: t - k], frame[k:])
+                  for k in range(order + 1)])
+    R = np.array([[r[abs(i - j)] for j in range(order)]
+                  for i in range(order)])
+    a = np.linalg.solve(R, -r[1 : order + 1])
+    return np.concatenate([[1.0], a])
+
+
+@pytest.mark.parametrize("order", [4, 12])
+def test_lpc_matches_normal_equation_oracle(order):
+    from crlot_tpu.features import lpc
+    from crlot_tpu.frame.framing import frame_signal
+    from crlot_tpu.window.windows import get_window
+
+    x = np.random.default_rng(10).standard_normal(SR // 8).astype(np.float32)
+    got = np.asarray(lpc(x, CFG, order=order))
+    frames = np.asarray(frame_signal(x, CFG.frame_spec)).astype(np.float64)
+    w = np.asarray(get_window(CFG.window, CFG.frame_size, CFG.periodic))
+    for i in range(4, frames.shape[0] - 4, 7):
+        want = _lpc_oracle(frames[i] * w, order)
+        np.testing.assert_allclose(got[i], want, rtol=5e-3, atol=5e-4)
+
+
+def test_lpc_recovers_ar_process():
+    from crlot_tpu.features import lpc
+    from crlot_tpu.iir import lfilter
+
+    # Drive a known all-pole filter with white noise; LPC must recover
+    # the denominator coefficients from the output alone.
+    a_true = np.array([1.0, -1.2, 0.8, -0.1])
+    rng = np.random.default_rng(11)
+    e = rng.standard_normal(SR // 2).astype(np.float32)
+    x = np.asarray(lfilter([1.0], a_true, e))
+    got = np.asarray(lpc(x, CFG, order=3))
+    med = np.median(got[4:-4], axis=0)  # robust over frames
+    np.testing.assert_allclose(med, a_true, atol=0.05)
+
+
+def test_lpc_silence_is_finite():
+    from crlot_tpu.features import lpc
+
+    a = np.asarray(lpc(np.zeros(8192, np.float32), CFG, order=8))
+    assert np.all(np.isfinite(a))
+    np.testing.assert_allclose(a[..., 0], 1.0)
+
+
+def test_lpc_validation():
+    from crlot_tpu.features import lpc
+
+    with pytest.raises(ValueError):
+        lpc(np.zeros(4096, np.float32), CFG, order=0)
+    with pytest.raises(ValueError):
+        lpc(np.zeros(4096, np.float32), CFG, order=CFG.frame_size)
+
+
+# ---------------------------------------------------------------------------
 # inversion: mfcc_to_mel / mel_to_linear / mel_to_audio
 # ---------------------------------------------------------------------------
 
