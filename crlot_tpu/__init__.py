@@ -36,6 +36,7 @@ from .features import (
     frame_rms,
     instantaneous_frequency,
     lpc,
+    lpc_envelope_db,
     mel_filterbank,
     mel_spectrogram,
     mel_to_audio,
@@ -43,6 +44,7 @@ from .features import (
     mfcc,
     mfcc_to_mel,
     power_to_db,
+    real_cepstrum,
     spectral_bandwidth,
     spectral_centroid,
     spectral_flatness,

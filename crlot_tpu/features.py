@@ -329,6 +329,32 @@ def lpc(signal: jnp.ndarray, cfg: StftConfig, order: int = 16,
     return jnp.stack(a, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("n_fft",))
+def lpc_envelope_db(a: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """All-pole spectral envelope from LPC coefficients:
+    `[..., order+1] -> [..., n_fft//2+1]` in dB, -20*log10|A(e^jw)|
+    (gain-free shape; add the frame's error power for absolute level)."""
+    a = jnp.asarray(a, jnp.float32)
+    spec = jnp.fft.rfft(a, n=n_fft, axis=-1)
+    mag = jnp.sqrt(jnp.square(spec.real) + jnp.square(spec.imag))
+    return -20.0 * jnp.log10(jnp.maximum(mag, 1e-12))
+
+
+@partial(jax.jit, static_argnames=("cfg", "eps"))
+def real_cepstrum(signal: jnp.ndarray, cfg: StftConfig,
+                  eps: float = 1e-10) -> jnp.ndarray:
+    """Per-frame real cepstrum `[..., T] -> [..., F, frame_size]`:
+    irfft(log |STFT|) — an echo at lag d puts a peak at quefrency d."""
+    from .pipeline import stft
+
+    spec = stft(jnp.asarray(signal, jnp.float32), cfg)
+    logmag = 0.5 * jnp.log(
+        jnp.maximum(jnp.square(spec.real) + jnp.square(spec.imag), eps * eps)
+    )
+    return jnp.fft.irfft(logmag.astype(jnp.complex64), n=cfg.frame_size,
+                         axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # inversion: MFCC -> mel -> linear power -> audio
 # ---------------------------------------------------------------------------

@@ -311,6 +311,62 @@ def test_lpc_validation():
         lpc(np.zeros(4096, np.float32), CFG, order=CFG.frame_size)
 
 
+def test_lpc_envelope_matches_direct_eval():
+    from crlot_tpu.features import lpc_envelope_db
+
+    a = np.array([1.0, -1.2, 0.8, -0.1], np.float32)
+    got = np.asarray(lpc_envelope_db(a, 512))
+    w = 2 * np.pi * np.arange(257) / 512
+    A = sum(a[k] * np.exp(-1j * w * k) for k in range(4))
+    want = -20 * np.log10(np.abs(A))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_lpc_envelope_tracks_ar_resonance():
+    from crlot_tpu.features import lpc, lpc_envelope_db
+    from crlot_tpu.iir import lfilter
+
+    # AR(2) resonator at ~3 kHz: the LPC envelope must peak there.
+    sr = SR
+    f0, r = 3000.0, 0.97
+    a_true = [1.0, -2 * r * np.cos(2 * np.pi * f0 / sr), r * r]
+    e = np.random.default_rng(12).standard_normal(sr // 2).astype(np.float32)
+    x = np.asarray(lfilter([1.0], a_true, e))
+    a_hat = np.asarray(lpc(x, CFG, order=2))
+    env = np.asarray(lpc_envelope_db(np.median(a_hat[4:-4], axis=0),
+                                     CFG.frame_size))
+    f_peak = np.argmax(env) * sr / CFG.frame_size
+    assert abs(f_peak - f0) < 150.0
+
+
+def test_real_cepstrum_echo_peak():
+    from crlot_tpu.features import real_cepstrum
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(SR // 2).astype(np.float32)
+    d = 160  # echo lag in samples
+    y = x.copy()
+    y[d:] += 0.5 * x[:-d]
+    c = np.asarray(real_cepstrum(y, CFG)).mean(axis=0)
+    # Peak in the searchable quefrency band (excluding the low-quefrency
+    # envelope region) must land at the echo lag.
+    band = c[32 : CFG.frame_size // 2]
+    assert abs((np.argmax(band) + 32) - d) <= 2
+
+
+def test_real_cepstrum_oracle():
+    from crlot_tpu.features import real_cepstrum
+    from crlot_tpu.pipeline import stft
+    import jax.numpy as jnp_
+
+    x = np.random.default_rng(14).standard_normal(SR // 8).astype(np.float32)
+    got = np.asarray(real_cepstrum(x, CFG))
+    spec = np.asarray(stft(jnp_.asarray(x), CFG))
+    want = np.fft.irfft(np.log(np.maximum(np.abs(spec), 1e-10)),
+                        n=CFG.frame_size, axis=-1)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 # ---------------------------------------------------------------------------
 # inversion: mfcc_to_mel / mel_to_linear / mel_to_audio
 # ---------------------------------------------------------------------------
