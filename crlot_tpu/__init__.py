@@ -52,7 +52,7 @@ from .features import (
     zero_crossing_rate,
 )
 from .griffinlim import griffin_lim, stft_magnitude
-from .pitch import yin_f0
+from .pitch import detect_onsets, onset_strength, yin_f0
 from .iir import (
     a_weighting_sos,
     butter_sos,

@@ -1,4 +1,5 @@
-"""Fundamental-frequency estimation: YIN, vectorized over frames.
+"""Fundamental-frequency estimation (YIN) and onset detection, vectorized
+over frames.
 
 YIN (de Cheveigne & Kawahara 2002) per frame: the windowed difference
 function d[tau] = sum_n (x[n] - x[n+tau])^2 expands into two energy terms
@@ -23,7 +24,7 @@ import numpy as np
 
 from .core.types import StftConfig
 
-__all__ = ["yin_f0"]
+__all__ = ["yin_f0", "onset_strength", "detect_onsets"]
 
 
 @partial(jax.jit, static_argnames=("cfg", "sr", "fmin", "fmax", "threshold"))
@@ -122,3 +123,68 @@ def yin_f0(
     aperiodicity = jnp.min(cmnd_b, axis=-1)
     f0 = jnp.where(any_under, sr / jnp.maximum(tau_ref, 1.0), 0.0)
     return f0, aperiodicity
+
+
+@partial(jax.jit, static_argnames=("cfg", "sr", "n_mels", "floor_db"))
+def onset_strength(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    n_mels: int = 64,
+    floor_db: float = -80.0,
+) -> jnp.ndarray:
+    """Spectral-flux onset novelty `[..., T] -> [..., F]`: the positive
+    first difference of the dB log-mel spectrogram, averaged over bands
+    (the standard onset-strength envelope; frame 0 is 0)."""
+    from .features import mel_spectrogram, power_to_db
+
+    logmel = power_to_db(
+        mel_spectrogram(signal, cfg, sr, n_mels=n_mels), floor_db=floor_db
+    )  # [..., F, M]
+    flux = jnp.maximum(logmel[..., 1:, :] - logmel[..., :-1, :], 0.0)
+    env = jnp.mean(flux, axis=-1)
+    return jnp.concatenate(
+        [jnp.zeros_like(env[..., :1]), env], axis=-1
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "sr", "n_mels", "pre_frames", "post_frames", "delta"))
+def detect_onsets(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    n_mels: int = 64,
+    pre_frames: int = 3,
+    post_frames: int = 3,
+    delta: float = 1.0,
+) -> tuple:
+    """Onset picking on the spectral-flux envelope. Returns
+    `(onset_mask, envelope)`, both `[..., F]` — `onset_mask` is boolean
+    (static shape: convert to frame indices with `np.nonzero` on the
+    host; a data-dependent index list cannot live inside jit).
+
+    A frame is an onset when its novelty is (a) the maximum over a
+    `[-pre_frames, +post_frames]` window and (b) at least `delta` dB above
+    the window mean (adaptive threshold).
+
+    Timing convention: the flux rises as soon as the event ENTERS the
+    analysis window, so an event at sample p is flagged around frame
+    p/hop - (frame_size/hop - 1) with uncentered framing (earlier than
+    p/hop; use small frames or `cfg.center=True` for tighter alignment).
+    """
+    env = onset_strength(signal, cfg, sr, n_mels=n_mels)
+    w = pre_frames + post_frames + 1
+    # Sliding window via stacked shifts (w is small and static).
+    pad = jnp.pad(
+        env,
+        [(0, 0)] * (env.ndim - 1) + [(pre_frames, post_frames)],
+        mode="edge",
+    )
+    f = env.shape[-1]
+    windows = jnp.stack(
+        [pad[..., k : k + f] for k in range(w)], axis=-1
+    )  # [..., F, w]
+    is_max = env >= jnp.max(windows, axis=-1) - 1e-9
+    above = env >= jnp.mean(windows, axis=-1) + delta
+    return is_max & above & (env > 0), env

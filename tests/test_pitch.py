@@ -62,3 +62,57 @@ def test_yin_validation():
     # Inverted/empty lag band must raise at trace time.
     with pytest.raises(ValueError):
         yin_f0(_tone(440.0), CFG, float(SR), fmin=1000.0, fmax=900.0)
+
+
+# ---------------------------------------------------------------------------
+# onset detection
+# ---------------------------------------------------------------------------
+
+def _click_train(positions, total, sr=SR, width=64):
+    x = np.zeros(total, np.float32)
+    rng = np.random.default_rng(1)
+    for p in positions:
+        x[p : p + width] += rng.standard_normal(width).astype(np.float32)
+    return x
+
+
+def test_onset_strength_peaks_at_clicks():
+    from crlot_tpu.pitch import onset_strength
+
+    hop = CFG.hop_size
+    entry = CFG.frame_size // hop - 1  # frames before p/hop where the
+    clicks = [hop * 20, hop * 50, hop * 80]  # event enters the window
+    x = _click_train(clicks, hop * 110)
+    env = np.asarray(onset_strength(x, CFG, float(SR)))
+    for p in clicks:
+        frame = p // hop - entry
+        window = env[max(frame - 1, 0) : frame + 2]
+        assert window.max() > 3 * np.median(env), (frame, window.max())
+
+
+def test_detect_onsets_finds_clicks_and_not_steady_tone():
+    from crlot_tpu.pitch import detect_onsets
+
+    hop = CFG.hop_size
+    clicks = [hop * 20, hop * 50, hop * 80]
+    x = _click_train(clicks, hop * 110)
+    mask, env = detect_onsets(x, CFG, float(SR))
+    idx = np.nonzero(np.asarray(mask))[0]
+    entry = CFG.frame_size // hop - 1
+    for p in clicks:
+        want = p // hop - entry  # frame where the click enters the window
+        assert np.any(np.abs(idx - want) <= 1), (want, idx)
+    assert len(idx) == len(clicks)  # no spurious extra onsets
+
+    tone = _tone(440.0, seconds=hop * 110 / SR)
+    mask_t, _ = detect_onsets(tone, CFG, float(SR))
+    # A steady tone has at most the initial attack as an onset.
+    assert np.asarray(mask_t)[5:].sum() == 0
+
+
+def test_detect_onsets_silence():
+    from crlot_tpu.pitch import detect_onsets
+
+    mask, env = detect_onsets(np.zeros(SR // 2, np.float32), CFG, float(SR))
+    assert np.asarray(mask).sum() == 0
+    assert np.all(np.asarray(env) < 1e-4)  # floored dB: fp noise only
