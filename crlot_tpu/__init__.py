@@ -32,6 +32,9 @@ from .window.windows import get_window
 from .resample.polyphase import resample, resample_chunked
 from .convolve import convolve
 from .features import (
+    chroma,
+    chroma_filterbank,
+    delta,
     envelope,
     frame_rms,
     instantaneous_frequency,

@@ -277,6 +277,96 @@ def spectral_rolloff(signal: jnp.ndarray, cfg: StftConfig, sr: float,
     return f[idx]
 
 
+def chroma_filterbank(
+    sr: float,
+    n_fft: int,
+    n_chroma: int = 12,
+    sigma: float = 1.0,
+    fmin: float = 32.0,
+) -> np.ndarray:
+    """Chroma (pitch-class) filterbank `[n_chroma, n_fft//2 + 1]` (f32).
+
+    Each FFT bin's fractional pitch p = n_chroma * log2(f / C0) (C0 =
+    16.3516 Hz, so class 0 = C) is spread over classes with a wrapped
+    Gaussian of width `sigma` semitones; bins below `fmin` are zeroed
+    (no pitch class for DC/rumble). Columns are L1-normalized so a bin's
+    energy is distributed, not amplified. Designed f64, cached.
+
+    Resolution caveat: pitch-class labeling is only as fine as the FFT
+    grid — reliable chroma for a pitch f needs bin spacing sr/n_fft well
+    under a semitone (~f/17), e.g. n_fft >= 4096 at 48 kHz for notes
+    below ~A3.
+    """
+    if n_chroma < 2:
+        raise ValueError("n_chroma must be >= 2")
+    key = ("chromafb", float(sr), int(n_fft), int(n_chroma), float(sigma),
+           float(fmin))
+    with _CACHE_LOCK:
+        hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    c0 = 440.0 / 16.0 * (2.0 ** (-9.0 / 12.0))  # C0 = 16.3516 Hz
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    valid = freqs >= fmin
+    p = np.zeros_like(freqs)
+    p[valid] = n_chroma * np.log2(freqs[valid] / c0)
+    classes = np.arange(n_chroma)[:, None]
+    dist = (p[None, :] - classes) % n_chroma
+    dist = np.minimum(dist, n_chroma - dist)  # wrapped distance
+    fb = np.exp(-0.5 * (dist / sigma) ** 2)
+    fb[:, ~valid] = 0.0
+    col = fb.sum(axis=0, keepdims=True)
+    fb = np.where(col > 0, fb / np.maximum(col, 1e-12), 0.0)
+    fb = np.ascontiguousarray(fb.astype(np.float32))
+    fb.setflags(write=False)
+    with _CACHE_LOCK:
+        _CACHE[key] = fb
+    return fb
+
+
+@partial(jax.jit, static_argnames=("cfg", "sr", "n_chroma", "sigma",
+                                   "fmin"))
+def chroma(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    n_chroma: int = 12,
+    sigma: float = 1.0,
+    fmin: float = 32.0,
+) -> jnp.ndarray:
+    """Chroma energy per frame `[..., T] -> [..., F, n_chroma]` (class 0 =
+    C): the power spectrogram through the chroma filterbank matmul."""
+    fb = chroma_filterbank(sr, cfg.frame_size, n_chroma, sigma, fmin)
+    p = _power_spectrogram(jnp.asarray(signal), cfg)
+    return p @ jnp.asarray(fb).T
+
+
+@partial(jax.jit, static_argnames=("width", "order"))
+def delta(feat: jnp.ndarray, width: int = 9, order: int = 1) -> jnp.ndarray:
+    """Regression delta of a feature track along the FRAME axis
+    (`[..., F, D] -> [..., F, D]`, librosa.feature.delta convention):
+    delta[t] = sum_{d=-W}^{W} d * x[t+d] / sum_d d^2 with edge padding.
+    `order=2` applies it twice (delta-delta)."""
+    if width < 3 or width % 2 == 0:
+        raise ValueError("width must be an odd integer >= 3")
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    half = width // 2
+    d = np.arange(-half, half + 1, dtype=np.float64)
+    kernel = jnp.asarray((d / np.sum(d * d)).astype(np.float32))
+    x = jnp.asarray(feat, jnp.float32)
+    for _ in range(order):
+        pad = jnp.pad(
+            x, [(0, 0)] * (x.ndim - 2) + [(half, half), (0, 0)],
+            mode="edge",
+        )
+        f = x.shape[-2]
+        x = sum(
+            kernel[k] * pad[..., k : k + f, :] for k in range(width)
+        )
+    return x
+
+
 # ---------------------------------------------------------------------------
 # linear prediction
 # ---------------------------------------------------------------------------

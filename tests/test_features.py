@@ -489,3 +489,79 @@ def test_power_to_db_floor():
     p = jnp.asarray([0.0, 1.0, 100.0], jnp.float32)
     db = np.asarray(power_to_db(p, floor_db=-100.0))
     np.testing.assert_allclose(db, [-100.0, 0.0, 20.0], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# chroma + delta
+# ---------------------------------------------------------------------------
+
+def test_chroma_tone_pitch_class():
+    from crlot_tpu.features import chroma
+
+    # A4 = 440 Hz -> class 9 (A) with class 0 = C.
+    c = np.asarray(chroma(_tone(440.0), CFG, SR)).mean(axis=0)
+    assert int(np.argmax(c)) == 9
+    # E5 = 659.26 Hz -> class 4 (E).
+    c2 = np.asarray(chroma(_tone(659.26), CFG, SR)).mean(axis=0)
+    assert int(np.argmax(c2)) == 4
+
+
+def test_chroma_octave_invariance():
+    from crlot_tpu.features import chroma
+
+    # A3 at 220 Hz needs a finer FFT grid than N=1024 (bin spacing must be
+    # well under a semitone — see chroma_filterbank docstring).
+    cfg = StftConfig(frame_size=4096, hop_size=1024, center=True)
+    for f in (220.0, 440.0, 880.0):  # A3/A4/A5 all map to class A
+        c = np.asarray(chroma(_tone(f), cfg, SR)).mean(axis=0)
+        assert int(np.argmax(c)) == 9, f
+
+
+def test_chroma_filterbank_shape_and_energy_distribution():
+    from crlot_tpu.features import chroma_filterbank
+
+    fb = chroma_filterbank(SR, 1024)
+    assert fb.shape == (12, 513) and fb.dtype == np.float32
+    # Columns above fmin distribute (sum to 1); low bins are zero.
+    col = fb.sum(axis=0)
+    freqs = np.fft.rfftfreq(1024, 1.0 / SR)
+    np.testing.assert_allclose(col[freqs >= 32.0], 1.0, atol=1e-5)
+    assert np.all(col[freqs < 32.0] == 0.0)
+
+
+def test_delta_of_linear_ramp_is_slope():
+    from crlot_tpu.features import delta
+
+    f, dim, slope = 40, 5, 0.37
+    feat = (slope * np.arange(f))[:, None] * np.ones((1, dim))
+    d = np.asarray(delta(feat.astype(np.float32), width=9))
+    interior = d[4:-4]
+    np.testing.assert_allclose(interior, slope, rtol=1e-4)
+
+
+def test_delta_matches_direct_oracle():
+    from crlot_tpu.features import delta
+
+    rng = np.random.default_rng(15)
+    feat = rng.standard_normal((30, 4)).astype(np.float32)
+    width, half = 5, 2
+    got = np.asarray(delta(feat, width=width))
+    dd = np.arange(-half, half + 1)
+    denom = np.sum(dd * dd)
+    padded = np.pad(feat, ((half, half), (0, 0)), mode="edge")
+    want = np.stack(
+        [sum(d * padded[t + d + half] for d in dd) / denom
+         for t in range(feat.shape[0])]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_delta_validation_and_order2():
+    from crlot_tpu.features import delta
+
+    feat = np.zeros((10, 3), np.float32)
+    with pytest.raises(ValueError):
+        delta(feat, width=4)
+    with pytest.raises(ValueError):
+        delta(feat, order=0)
+    assert np.asarray(delta(feat, order=2)).shape == feat.shape
