@@ -46,18 +46,25 @@ def main() -> None:
         ct.mfcc(mono, cfg, float(sr), n_mfcc=args.n_mfcc,
                 n_mels=args.n_mels)
     )
+    d1 = np.asarray(ct.delta(coeffs))
     centroid = np.asarray(ct.spectral_centroid(mono, cfg, float(sr)))
     flatness = np.asarray(ct.spectral_flatness(mono, cfg))
+    chroma = np.asarray(ct.chroma(mono, cfg, float(sr)))
+    onset_mask, onset_env = ct.detect_onsets(mono, cfg, float(sr))
+    onsets = np.nonzero(np.asarray(onset_mask))[0]
 
     np.savez(
-        args.outfile, mel=mel, mfcc=coeffs, centroid=centroid,
-        flatness=flatness, sample_rate=sr, hop_size=args.hop_size,
+        args.outfile, mel=mel, mfcc=coeffs, mfcc_delta=d1,
+        centroid=centroid, flatness=flatness, chroma=chroma,
+        onset_env=np.asarray(onset_env), onset_frames=onsets,
+        sample_rate=sr, hop_size=args.hop_size,
     )
     print(
         f"{args.infile}: {mel.shape[0]} frames -> mel{mel.shape} "
-        f"mfcc{coeffs.shape}; median centroid "
+        f"mfcc{coeffs.shape} chroma{chroma.shape}; median centroid "
         f"{float(np.median(centroid)):.0f} Hz, median flatness "
-        f"{float(np.median(flatness)):.3f} -> {args.outfile}"
+        f"{float(np.median(flatness)):.3f}, {len(onsets)} onsets "
+        f"-> {args.outfile}"
     )
 
 
