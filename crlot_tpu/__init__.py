@@ -55,6 +55,7 @@ from .features import (
     zero_crossing_rate,
 )
 from .griffinlim import griffin_lim, stft_magnitude
+from .hpss import harmonic, hpss, hpss_masks, percussive
 from .pitch import detect_onsets, onset_strength, yin_f0
 from .iir import (
     a_weighting_sos,
