@@ -54,6 +54,14 @@ from .features import (
     spectral_rolloff,
     zero_crossing_rate,
 )
+from .effects import (
+    deemphasis,
+    mu_compress,
+    mu_expand,
+    mu_law_decode,
+    mu_law_encode,
+    preemphasis,
+)
 from .griffinlim import griffin_lim, stft_magnitude
 from .hpss import harmonic, hpss, hpss_masks, percussive
 from .pitch import detect_onsets, onset_strength, yin_f0
