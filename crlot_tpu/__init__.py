@@ -50,6 +50,7 @@ from .features import (
     real_cepstrum,
     spectral_bandwidth,
     spectral_centroid,
+    spectral_contrast,
     spectral_flatness,
     spectral_rolloff,
     zero_crossing_rate,
@@ -64,7 +65,7 @@ from .effects import (
 )
 from .griffinlim import griffin_lim, stft_magnitude
 from .hpss import harmonic, hpss, hpss_masks, percussive
-from .pitch import detect_onsets, onset_strength, yin_f0
+from .pitch import detect_onsets, onset_strength, tempo, tempogram, yin_f0
 from .iir import (
     a_weighting_sos,
     butter_sos,

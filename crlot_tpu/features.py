@@ -597,3 +597,65 @@ def spectral_flatness(signal: jnp.ndarray, cfg: StftConfig,
     log_gm = jnp.mean(jnp.log(p), axis=-1)
     am = jnp.mean(p, axis=-1)
     return jnp.exp(log_gm) / am
+
+
+def _contrast_band_slices(
+    sr: float, n_fft: int, n_bands: int, fmin: float
+) -> Tuple[Tuple[int, int], ...]:
+    """Octave-band bin ranges for spectral contrast: band 0 = [0, fmin),
+    band b = [fmin*2^(b-1), fmin*2^b) Hz, the last band clipped at
+    Nyquist. Designed on host from static args; every band must hold at
+    least 2 bins so the quantile split is meaningful."""
+    k = n_fft // 2 + 1
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    edges = [0.0] + [fmin * (2.0 ** b) for b in range(n_bands + 1)]
+    edges[-1] = min(edges[-1], sr / 2.0)
+    out = []
+    for lo_hz, hi_hz in zip(edges[:-1], edges[1:]):
+        lo = int(np.searchsorted(freqs, lo_hz, side="left"))
+        hi = int(np.searchsorted(freqs, hi_hz, side="left"))
+        hi = min(max(hi, lo + 2), k)
+        if hi - lo < 2 or lo >= k - 1:
+            raise ValueError(
+                f"spectral_contrast band [{lo_hz:.0f}, {hi_hz:.0f}) Hz has "
+                f"<2 bins at n_fft={n_fft}, sr={sr}; lower n_bands or fmin"
+            )
+        out.append((lo, hi))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "sr", "n_bands", "fmin", "quantile", "linear"))
+def spectral_contrast(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    n_bands: int = 6,
+    fmin: float = 200.0,
+    quantile: float = 0.02,
+    linear: bool = False,
+) -> jnp.ndarray:
+    """Octave-band spectral contrast `[..., T] -> [..., F, n_bands+1]`:
+    per frame and band, the gap between the mean of the top `quantile` of
+    power bins (peak) and the mean of the bottom `quantile` (valley) — in
+    dB by default, as a linear peak/valley ratio with `linear=True`.
+    High for tonal/peaked spectra, near 0 dB for white noise.
+
+    TPU shape: band bin ranges are static (host-designed octave edges),
+    so each band is a static slice + `jnp.sort` along its bins — a Python
+    loop over ~7 small vectorized sorts, no dynamic shapes.
+    """
+    if not 0.0 < quantile <= 0.5:
+        raise ValueError(f"quantile must be in (0, 0.5], got {quantile}")
+    p = _power_spectrogram(jnp.asarray(signal), cfg)
+    bands = _contrast_band_slices(sr, cfg.frame_size, n_bands, fmin)
+    cols = []
+    for lo, hi in bands:
+        nb = hi - lo
+        k = max(1, int(round(quantile * nb)))
+        s = jnp.sort(p[..., lo:hi], axis=-1)
+        valley = jnp.mean(s[..., :k], axis=-1)
+        peak = jnp.mean(s[..., nb - k:], axis=-1)
+        ratio = jnp.maximum(peak, 1e-20) / jnp.maximum(valley, 1e-20)
+        cols.append(ratio if linear else 10.0 * jnp.log10(ratio))
+    return jnp.stack(cols, axis=-1)

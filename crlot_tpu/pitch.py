@@ -24,7 +24,7 @@ import numpy as np
 
 from .core.types import StftConfig
 
-__all__ = ["yin_f0", "onset_strength", "detect_onsets"]
+__all__ = ["yin_f0", "onset_strength", "detect_onsets", "tempogram", "tempo"]
 
 
 @partial(jax.jit, static_argnames=("cfg", "sr", "fmin", "fmax", "threshold"))
@@ -188,3 +188,99 @@ def detect_onsets(
     is_max = env >= jnp.max(windows, axis=-1) - 1e-9
     above = env >= jnp.mean(windows, axis=-1) + delta
     return is_max & above & (env > 0), env
+
+
+@partial(jax.jit, static_argnames=("cfg", "sr", "win_frames", "n_mels"))
+def tempogram(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    win_frames: int = 384,
+    n_mels: int = 64,
+) -> jnp.ndarray:
+    """Local autocorrelation tempogram `[..., T] -> [..., F, win_frames]`
+    (Grosche & Mueller 2010): the onset-strength envelope is framed into
+    Hann-windowed `win_frames`-long windows at every frame (hop 1,
+    zero-padded so window f is centered on frame f), each autocorrelated
+    via rFFT products, and normalized by its own lag-0 energy — so column
+    values are in [-1, 1] and the lag axis reads as periodicity strength.
+    Lag l corresponds to 60 * (sr/hop) / l BPM.
+
+    One jit: the hop-1 framing is the framework's gather-free slicing
+    (frame/framing.py) and the per-window autocorrelation is one batched
+    rFFT/irFFT pair — no per-window looping.
+    """
+    from .frame.framing import frame_signal
+    from .core.types import FrameSpec
+
+    env = onset_strength(signal, cfg, sr, n_mels=n_mels)  # [..., F]
+    f = env.shape[-1]
+    left = win_frames // 2
+    right = win_frames - 1 - left
+    pad = jnp.pad(env, [(0, 0)] * (env.ndim - 1) + [(left, right)])
+    wins = frame_signal(pad, FrameSpec(win_frames, 1))  # [..., F, win]
+    w = jnp.asarray(np.hanning(win_frames + 1)[:-1], jnp.float32)
+    wx = wins * w
+    spec = jnp.fft.rfft(wx, n=2 * win_frames, axis=-1)
+    ac = jnp.fft.irfft(
+        jnp.square(spec.real) + jnp.square(spec.imag),
+        n=2 * win_frames, axis=-1,
+    )[..., :win_frames]
+    return ac / jnp.maximum(ac[..., :1], 1e-12)
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "sr", "start_bpm", "std_bpm", "min_bpm", "max_bpm", "n_mels"))
+def tempo(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    start_bpm: float = 120.0,
+    std_bpm: float = 1.0,
+    min_bpm: float = 30.0,
+    max_bpm: float = 300.0,
+    n_mels: int = 64,
+) -> jnp.ndarray:
+    """Global tempo estimate in BPM, `[..., T] -> [...]` (scalar per
+    batch element). The mean-removed onset envelope is autocorrelated
+    once (rFFT), scored against a log-normal tempo prior centered at
+    `start_bpm` (std `std_bpm` octaves), and the best lag inside the
+    `[min_bpm, max_bpm]` band is refined parabolically for sub-lag
+    precision. Returns 0 where the envelope is silent.
+    """
+    env = onset_strength(signal, cfg, sr, n_mels=n_mels)
+    env = env - jnp.mean(env, axis=-1, keepdims=True)
+    f = env.shape[-1]
+    spec = jnp.fft.rfft(env, n=2 * f, axis=-1)
+    ac = jnp.fft.irfft(
+        jnp.square(spec.real) + jnp.square(spec.imag), n=2 * f, axis=-1
+    )[..., :f]
+
+    frame_rate = sr / cfg.hop_size
+    lags = jnp.arange(f, dtype=jnp.float32)
+    bpm = 60.0 * frame_rate / jnp.maximum(lags, 1e-6)  # lag 0 -> huge
+    prior = jnp.exp(
+        -0.5 * jnp.square(
+            (jnp.log2(bpm) - np.log2(start_bpm)) / std_bpm
+        )
+    )
+    valid = (bpm >= min_bpm) & (bpm <= max_bpm) & (lags >= 1)
+    score = jnp.where(valid, ac * prior, -jnp.inf)
+    l0 = jnp.argmax(score, axis=-1)
+
+    # Parabolic refinement on the raw autocorrelation around the peak.
+    lm = jnp.clip(l0 - 1, 0, f - 1)
+    lp = jnp.clip(l0 + 1, 0, f - 1)
+    take = lambda idx: jnp.take_along_axis(
+        ac, idx[..., None], axis=-1)[..., 0]
+    ym, y0, yp = take(lm), take(l0), take(lp)
+    denom = ym - 2.0 * y0 + yp
+    shift = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym - yp) / denom, 0.0)
+    lag_ref = l0.astype(jnp.float32) + jnp.clip(shift, -0.5, 0.5)
+
+    # True silence leaves a ~1e-6 residue in the dB-flux envelope (f32
+    # rounding in the STFT of zeros); anything musical is O(1).
+    silent = jnp.max(jnp.abs(env), axis=-1) <= 1e-4
+    return jnp.where(
+        silent, 0.0, 60.0 * frame_rate / jnp.maximum(lag_ref, 1e-6)
+    )
