@@ -53,8 +53,10 @@ from .features import (
     spectral_contrast,
     spectral_flatness,
     spectral_rolloff,
+    tonnetz,
     zero_crossing_rate,
 )
+from .segment import activity_mask, split_silence, trim_silence
 from .effects import (
     deemphasis,
     mu_compress,

@@ -659,3 +659,49 @@ def spectral_contrast(
         ratio = jnp.maximum(peak, 1e-20) / jnp.maximum(valley, 1e-20)
         cols.append(ratio if linear else 10.0 * jnp.log10(ratio))
     return jnp.stack(cols, axis=-1)
+
+
+def _tonnetz_basis(n_chroma: int) -> np.ndarray:
+    """Harte/Sandler/Gasser 2006 tonal-centroid projection `[6, n_chroma]`:
+    pitch classes mapped onto three circles — fifths (radius 1), minor
+    thirds (radius 1), major thirds (radius 0.5) — as (sin, cos) pairs.
+    Host-designed in float64, cached by key."""
+    key = ("tonnetz", n_chroma)
+    with _CACHE_LOCK:
+        hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    l = np.arange(n_chroma, dtype=np.float64) * (12.0 / n_chroma)
+    angles = np.vstack([
+        l * 7.0 * np.pi / 6.0,   # circle of fifths
+        l * 3.0 * np.pi / 2.0,   # minor thirds
+        l * 2.0 * np.pi / 3.0,   # major thirds
+    ])
+    radii = np.array([1.0, 1.0, 0.5])[:, None]
+    basis = np.empty((6, n_chroma), np.float64)
+    basis[0::2] = radii * np.sin(angles)
+    basis[1::2] = radii * np.cos(angles)
+    basis = basis.astype(np.float32)
+    with _CACHE_LOCK:
+        _CACHE[key] = basis
+    return basis
+
+
+@partial(jax.jit, static_argnames=("cfg", "sr", "n_chroma", "sigma", "fmin"))
+def tonnetz(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    n_chroma: int = 12,
+    sigma: float = 1.0,
+    fmin: float = 32.0,
+) -> jnp.ndarray:
+    """Tonal centroid features `[..., T] -> [..., F, 6]`: the chroma
+    vector (L1-normalized per frame) projected onto the fifths /
+    minor-third / major-third circles. Harmonically related pitch
+    classes land near each other (a fifth is 30 deg on the first circle;
+    a tritone is antipodal), which is what makes these useful for chord
+    and key tracking. One extra [6, 12] matmul on top of `chroma`."""
+    c = chroma(signal, cfg, sr, n_chroma=n_chroma, sigma=sigma, fmin=fmin)
+    c = c / jnp.maximum(jnp.sum(c, axis=-1, keepdims=True), 1e-10)
+    return c @ jnp.asarray(_tonnetz_basis(n_chroma)).T
