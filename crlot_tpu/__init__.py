@@ -46,6 +46,7 @@ from .features import (
     mel_to_linear,
     mfcc,
     mfcc_to_mel,
+    pcen,
     power_to_db,
     real_cepstrum,
     spectral_bandwidth,

@@ -705,3 +705,45 @@ def tonnetz(
     c = chroma(signal, cfg, sr, n_chroma=n_chroma, sigma=sigma, fmin=fmin)
     c = c / jnp.maximum(jnp.sum(c, axis=-1, keepdims=True), 1e-10)
     return c @ jnp.asarray(_tonnetz_basis(n_chroma)).T
+
+
+@partial(jax.jit, static_argnames=(
+    "frame_rate", "time_constant", "gain", "bias", "power", "eps"))
+def pcen(
+    spec: jnp.ndarray,
+    frame_rate: float,
+    time_constant: float = 0.4,
+    gain: float = 0.98,
+    bias: float = 2.0,
+    power: float = 0.5,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Per-channel energy normalization (Wang et al. 2017) of a
+    nonnegative spectrogram `[..., F, K]` (frames on axis -2, e.g. a mel
+    spectrogram): an automatic-gain-control divide by a one-pole temporal
+    smoother, then root compression —
+
+        M[t] = (1-s) M[t-1] + s S[t]
+        PCEN = (S / (eps + M)^gain + bias)^power - bias^power
+
+    `frame_rate` = sr / hop_size; the smoothing coefficient follows the
+    librosa convention s = (sqrt(1 + 4 T^2) - 1) / (2 T^2) with
+    T = time_constant * frame_rate. The smoother is the framework's
+    log-depth scan IIR (iir.lfilter) applied along frames, initialized at
+    M[-1] = S[0] so frame 0 is not transient-shocked. Replaces the
+    dB+mean-variance normalization stage in keyword-spotting/ASR
+    front-ends; loudness-invariant by construction.
+    """
+    from .iir import lfilter
+
+    if time_constant <= 0 or frame_rate <= 0:
+        raise ValueError("frame_rate and time_constant must be > 0")
+    t = time_constant * frame_rate
+    s = float((np.sqrt(1.0 + 4.0 * t * t) - 1.0) / (2.0 * t * t))
+    x = jnp.maximum(jnp.asarray(spec, jnp.float32), 0.0)
+    xt = jnp.swapaxes(x, -2, -1)  # [..., K, F]: smooth along last axis
+    zi = (1.0 - s) * xt[..., :1]  # DF2T state for M[-1] = S[0]
+    m, _ = lfilter([s], [1.0, -(1.0 - s)], xt, zi=zi)
+    m = jnp.swapaxes(m, -2, -1)
+    agc = x / jnp.power(eps + m, gain)
+    return jnp.power(agc + bias, power) - bias ** power
