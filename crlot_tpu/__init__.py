@@ -34,6 +34,7 @@ from .convolve import convolve
 from .features import (
     chroma,
     chroma_filterbank,
+    cqt_filterbank,
     delta,
     envelope,
     frame_rms,
@@ -48,6 +49,7 @@ from .features import (
     mfcc_to_mel,
     pcen,
     power_to_db,
+    pseudo_cqt,
     real_cepstrum,
     spectral_bandwidth,
     spectral_centroid,

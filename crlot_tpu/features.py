@@ -747,3 +747,66 @@ def pcen(
     m = jnp.swapaxes(m, -2, -1)
     agc = x / jnp.power(eps + m, gain)
     return jnp.power(agc + bias, power) - bias ** power
+
+
+def cqt_filterbank(
+    sr: float,
+    n_fft: int,
+    n_bins: int = 84,
+    bins_per_octave: int = 12,
+    fmin: float = 32.703194,  # C1
+) -> np.ndarray:
+    """Constant-Q analysis filterbank `[n_bins, n_fft//2 + 1]` (host f64,
+    cached): bin b is a Gaussian centered at fmin * 2^(b/bins_per_octave)
+    whose width tracks the constant-Q bandwidth f/Q with
+    Q = 1 / (2^(1/bpo) - 1), floored at one FFT bin so low bins whose Q
+    bandwidth falls under the FFT's resolution still integrate a full
+    bin. Rows are L1-normalized (unit response to a flat spectrum).
+    """
+    key = ("cqt", float(sr), n_fft, n_bins, bins_per_octave, float(fmin))
+    with _CACHE_LOCK:
+        hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    if fmin <= 0 or n_bins < 1 or bins_per_octave < 1:
+        raise ValueError("fmin > 0, n_bins >= 1, bins_per_octave >= 1")
+    centers = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    if centers[-1] > sr / 2.0:
+        raise ValueError(
+            f"top CQT bin {centers[-1]:.1f} Hz exceeds Nyquist {sr / 2:.1f}; "
+            f"lower n_bins or fmin"
+        )
+    q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    df = sr / n_fft
+    # FWHM = bandwidth -> sigma = bw / (2 sqrt(2 ln 2)).
+    bw = np.maximum(centers / q, df)
+    sigma = bw / 2.3548200450309493
+    fb = np.exp(
+        -0.5 * ((freqs[None, :] - centers[:, None]) / sigma[:, None]) ** 2
+    )
+    fb /= np.maximum(fb.sum(axis=1, keepdims=True), 1e-12)
+    fb = fb.astype(np.float32)
+    with _CACHE_LOCK:
+        _CACHE[key] = fb
+    return fb
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "sr", "n_bins", "bins_per_octave", "fmin"))
+def pseudo_cqt(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    n_bins: int = 84,
+    bins_per_octave: int = 12,
+    fmin: float = 32.703194,
+) -> jnp.ndarray:
+    """Pseudo constant-Q power spectrogram `[..., T] -> [..., F, n_bins]`:
+    the STFT power spectrogram through the constant-Q filterbank matmul
+    (log-frequency axis, one MXU pass — the standard STFT-based CQT
+    approximation; frequency resolution at the low bins is bounded by the
+    FFT's sr/n_fft, see `cqt_filterbank`)."""
+    fb = cqt_filterbank(sr, cfg.frame_size, n_bins, bins_per_octave, fmin)
+    p = _power_spectrogram(jnp.asarray(signal), cfg)
+    return p @ jnp.asarray(fb).T
