@@ -99,6 +99,20 @@ def test_loudness_example(small_wav):
     assert "A-weighted" in line and "dBFS" in line, line
 
 
+def test_analyze_example(small_wav, tmp_path):
+    stems = str(tmp_path / "stems")
+    r = _run("analyze.py", small_wav, "--write-stems", stems)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout
+    assert "tempo:" in out and "harmonic/percussive energy" in out
+    # A steady 440 Hz tone in noise is overwhelmingly harmonic.
+    import re
+    m = re.search(r"harmonic/percussive energy: ([\d.]+)%", out)
+    assert m and float(m.group(1)) > 70.0, out
+    assert os.path.exists(os.path.join(stems, "harmonic.wav"))
+    assert os.path.exists(os.path.join(stems, "percussive.wav"))
+
+
 def test_streaming_checkpoint_example(small_wav, tmp_path):
     out = str(tmp_path / "out.npy")
     ckpt = str(tmp_path / "stream.ckpt.npz")
