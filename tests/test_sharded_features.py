@@ -62,3 +62,40 @@ def test_sharded_sosfilt_bit_identical():
     want = np.asarray(sosfilt(sos, x))
     got = np.asarray(sosfilt(sos, _shard_channels(x)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_hpss_bit_identical():
+    from crlot_tpu.hpss import hpss
+
+    x = _sig(8, SR // 4, seed=4)
+    wh, wp = hpss(x, CFG, kernel_harm=9, kernel_perc=9)
+    gh, gp = hpss(_shard_channels(x), CFG, kernel_harm=9, kernel_perc=9)
+    np.testing.assert_array_equal(np.asarray(gh), np.asarray(wh))
+    np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+
+
+def test_sharded_pseudo_cqt_bit_identical():
+    from crlot_tpu.features import pseudo_cqt
+
+    x = _sig(8, SR // 4, seed=5)
+    want = np.asarray(pseudo_cqt(x, CFG, float(SR), n_bins=36, fmin=110.0))
+    got = np.asarray(
+        pseudo_cqt(_shard_channels(x), CFG, float(SR), n_bins=36, fmin=110.0)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_pcen_bit_identical():
+    from crlot_tpu.features import pcen
+
+    x = _sig(8, SR // 4, seed=6)
+    mel = mel_spectrogram(x, CFG, float(SR), n_mels=32)
+    want = np.asarray(pcen(mel, float(SR) / CFG.hop_size))
+    mesh = make_mesh(channel=8, time=1)
+    mel_sharded = jax.device_put(
+        np.asarray(mel), NamedSharding(mesh, P("channel", None, None))
+    )
+    got = np.asarray(pcen(mel_sharded, float(SR) / CFG.hop_size))
+    # Not bit-exact: the per-device shapes let XLA fuse the pow/scan chain
+    # differently (observed max 6e-6 relative). Gate at ULP-scale anyway.
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
