@@ -273,6 +273,30 @@ def bench_features(results: Dict[str, float]) -> None:
     results["mfcc13_4s_ms"] = round(sec * 1e3, 3)
     results["mfcc13_msamples_per_s"] = round(len(x) / sec / 1e6, 1)
 
+    from ..hpss import hpss
+
+    def hpss_fn(v):
+        h, p = hpss(v, cfg, kernel_harm=17, kernel_perc=17)
+        return h + p  # single output keeps the timing chain one-armed
+
+    assert np.isfinite(np.asarray(jax.jit(hpss_fn)(x))).all()
+    sec = _time(hpss_fn, x)
+    results["hpss17_4s_ms"] = round(sec * 1e3, 3)
+    results["hpss17_msamples_per_s"] = round(len(x) / sec / 1e6, 1)
+
+    from ..features import pcen
+
+    def pcen_fn(v):
+        return pcen(
+            mel_spectrogram(v, cfg, float(sr), n_mels=64),
+            float(sr) / cfg.hop_size,
+        )
+
+    assert np.isfinite(np.asarray(jax.jit(pcen_fn)(x))).all()
+    sec = _time(pcen_fn, x)
+    results["pcen_mel64_4s_ms"] = round(sec * 1e3, 3)
+    results["pcen_mel64_msamples_per_s"] = round(len(x) / sec / 1e6, 1)
+
 
 def bench_iir(results: Dict[str, float]) -> None:
     """Associative-scan IIR throughput: butter(4) lowpass cascade."""
