@@ -59,6 +59,7 @@ from .features import (
     tonnetz,
     zero_crossing_rate,
 )
+from .align import dtw, dtw_cost, dtw_path
 from .segment import activity_mask, split_silence, trim_silence
 from .effects import (
     deemphasis,
