@@ -717,7 +717,8 @@ def pcen(
     bias: float = 2.0,
     power: float = 0.5,
     eps: float = 1e-6,
-) -> jnp.ndarray:
+    zi: Optional[jnp.ndarray] = None,
+):
     """Per-channel energy normalization (Wang et al. 2017) of a
     nonnegative spectrogram `[..., F, K]` (frames on axis -2, e.g. a mel
     spectrogram): an automatic-gain-control divide by a one-pole temporal
@@ -733,6 +734,11 @@ def pcen(
     M[-1] = S[0] so frame 0 is not transient-shocked. Replaces the
     dB+mean-variance normalization stage in keyword-spotting/ASR
     front-ends; loudness-invariant by construction.
+
+    Streaming: pass `zi` = the previous chunk's final smoother state
+    `[..., K]` (the second element of the returned tuple) to continue a
+    stream across chunk boundaries; with `zi` given the function returns
+    `(out, zf)` instead of `out` alone (the iir.lfilter convention).
     """
     from .iir import lfilter
 
@@ -742,11 +748,17 @@ def pcen(
     s = float((np.sqrt(1.0 + 4.0 * t * t) - 1.0) / (2.0 * t * t))
     x = jnp.maximum(jnp.asarray(spec, jnp.float32), 0.0)
     xt = jnp.swapaxes(x, -2, -1)  # [..., K, F]: smooth along last axis
-    zi = (1.0 - s) * xt[..., :1]  # DF2T state for M[-1] = S[0]
-    m, _ = lfilter([s], [1.0, -(1.0 - s)], xt, zi=zi)
+    if zi is None:
+        z0 = (1.0 - s) * xt[..., :1]  # DF2T state for M[-1] = S[0]
+    else:
+        z0 = (1.0 - s) * jnp.asarray(zi, jnp.float32)[..., None]
+    m, zf = lfilter([s], [1.0, -(1.0 - s)], xt, zi=z0)
     m = jnp.swapaxes(m, -2, -1)
     agc = x / jnp.power(eps + m, gain)
-    return jnp.power(agc + bias, power) - bias ** power
+    out = jnp.power(agc + bias, power) - bias ** power
+    if zi is None:
+        return out
+    return out, m[..., -1, :]
 
 
 def cqt_filterbank(

@@ -67,3 +67,14 @@ def test_pcen_on_mel_pipeline():
 def test_pcen_validates_args():
     with pytest.raises(ValueError):
         pcen(jnp.ones((4, 4)), FRAME_RATE, time_constant=0.0)
+
+
+def test_pcen_streaming_zi_matches_oneshot():
+    rng = np.random.default_rng(7)
+    spec = rng.uniform(0.0, 3.0, (120, 12)).astype(np.float32)
+    one = np.asarray(pcen(jnp.asarray(spec), FRAME_RATE))
+    a, zf = pcen(jnp.asarray(spec[:70]), FRAME_RATE,
+                 zi=jnp.asarray(spec[0]))  # zi = S[0] == the default init
+    b, _ = pcen(jnp.asarray(spec[70:]), FRAME_RATE, zi=zf)
+    got = np.concatenate([np.asarray(a), np.asarray(b)])
+    np.testing.assert_allclose(got, one, rtol=1e-5, atol=1e-6)
