@@ -33,6 +33,7 @@ from .resample.polyphase import resample, resample_chunked
 from .convolve import convolve
 from .features import (
     chroma,
+    chroma_cqt,
     chroma_filterbank,
     cqt_filterbank,
     delta,

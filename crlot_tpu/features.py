@@ -822,3 +822,23 @@ def pseudo_cqt(
     fb = cqt_filterbank(sr, cfg.frame_size, n_bins, bins_per_octave, fmin)
     p = _power_spectrogram(jnp.asarray(signal), cfg)
     return p @ jnp.asarray(fb).T
+
+
+@partial(jax.jit, static_argnames=("cfg", "sr", "n_octaves", "fmin"))
+def chroma_cqt(
+    signal: jnp.ndarray,
+    cfg: StftConfig,
+    sr: float,
+    n_octaves: int = 7,
+    fmin: float = 32.703194,  # C1 -> pitch class 0 = C
+) -> jnp.ndarray:
+    """Chroma from the pseudo-CQT `[..., T] -> [..., F, 12]`: 12 bins per
+    octave starting at `fmin`, folded across `n_octaves` octaves by
+    summation — octave-invariant by construction (unlike the STFT-bin
+    chroma, whose low-octave resolution is limited by bin spacing).
+    Class 0 = C when `fmin` is a C."""
+    c = pseudo_cqt(
+        signal, cfg, sr,
+        n_bins=12 * n_octaves, bins_per_octave=12, fmin=fmin,
+    )
+    return c.reshape(c.shape[:-1] + (n_octaves, 12)).sum(axis=-2)

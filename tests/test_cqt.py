@@ -58,3 +58,15 @@ def test_batched_shape():
     x = np.stack([_tone(220.0, 0.2), _tone(440.0, 0.2)])
     c = pseudo_cqt(x, CFG, SR, n_bins=36, fmin=110.0)
     assert c.shape[0] == 2 and c.shape[-1] == 36
+
+
+def test_chroma_cqt_pitch_class_and_octave_invariance():
+    from crlot_tpu.features import chroma_cqt
+
+    a3, a4 = 220.0, 440.0  # both pitch class A = 9 from a C fmin
+    c3 = np.asarray(chroma_cqt(_tone(a3), CFG, SR))
+    c4 = np.asarray(chroma_cqt(_tone(a4), CFG, SR))
+    assert c3.shape[-1] == 12
+    m3 = c3[c3.shape[0] // 2]
+    m4 = c4[c4.shape[0] // 2]
+    assert int(np.argmax(m3)) == 9 and int(np.argmax(m4)) == 9
