@@ -50,12 +50,21 @@ def main() -> None:
     centroid = np.asarray(ct.spectral_centroid(mono, cfg, float(sr)))
     flatness = np.asarray(ct.spectral_flatness(mono, cfg))
     chroma = np.asarray(ct.chroma(mono, cfg, float(sr)))
+    contrast = np.asarray(ct.spectral_contrast(mono, cfg, float(sr)))
+    tonnetz = np.asarray(ct.tonnetz(mono, cfg, float(sr)))
+    pcen = np.asarray(
+        ct.pcen(ct.mel_spectrogram(mono, cfg, float(sr),
+                                   n_mels=args.n_mels),
+                float(sr) / args.hop_size)
+    )
     onset_mask, onset_env = ct.detect_onsets(mono, cfg, float(sr))
     onsets = np.nonzero(np.asarray(onset_mask))[0]
+    bpm = float(ct.tempo(mono, cfg, float(sr)))
 
     np.savez(
         args.outfile, mel=mel, mfcc=coeffs, mfcc_delta=d1,
         centroid=centroid, flatness=flatness, chroma=chroma,
+        contrast=contrast, tonnetz=tonnetz, pcen=pcen, tempo_bpm=bpm,
         onset_env=np.asarray(onset_env), onset_frames=onsets,
         sample_rate=sr, hop_size=args.hop_size,
     )
@@ -63,8 +72,8 @@ def main() -> None:
         f"{args.infile}: {mel.shape[0]} frames -> mel{mel.shape} "
         f"mfcc{coeffs.shape} chroma{chroma.shape}; median centroid "
         f"{float(np.median(centroid)):.0f} Hz, median flatness "
-        f"{float(np.median(flatness)):.3f}, {len(onsets)} onsets "
-        f"-> {args.outfile}"
+        f"{float(np.median(flatness)):.3f}, {len(onsets)} onsets, "
+        f"{bpm:.0f} BPM -> {args.outfile}"
     )
 
 
