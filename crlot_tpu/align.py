@@ -31,7 +31,10 @@ import numpy as np
 
 __all__ = ["dtw_cost", "dtw", "dtw_path"]
 
-_BIG = jnp.float32(3.0e38)
+# Plain numpy scalar: jnp.float32(...) at module level would create a
+# device array at import time and initialize the backend — which breaks
+# jax.distributed.initialize() in multihost children (test_multihost.py).
+_BIG = np.float32(3.0e38)
 
 
 @partial(jax.jit, static_argnames=("metric",))
