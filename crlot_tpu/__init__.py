@@ -61,7 +61,13 @@ from .features import (
     zero_crossing_rate,
 )
 from .align import dtw, dtw_cost, dtw_path
-from .segment import activity_mask, split_silence, trim_silence
+from .segment import (
+    activity_mask,
+    frames_to_time,
+    split_silence,
+    time_to_frames,
+    trim_silence,
+)
 from .effects import (
     deemphasis,
     mu_compress,

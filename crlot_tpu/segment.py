@@ -22,7 +22,31 @@ import numpy as np
 
 from .core.types import StftConfig
 
-__all__ = ["activity_mask", "trim_silence", "split_silence"]
+__all__ = [
+    "activity_mask",
+    "trim_silence",
+    "split_silence",
+    "frames_to_time",
+    "time_to_frames",
+]
+
+
+def frames_to_time(frames, cfg: StftConfig, sr: float) -> np.ndarray:
+    """Frame indices -> seconds (host helper for onset/tempo/segmentation
+    consumers). With `cfg.center` frame f is centered at f*hop; otherwise
+    the convention is the frame's center at f*hop + frame_size/2."""
+    f = np.asarray(frames, np.float64)
+    offset = 0.0 if cfg.center else cfg.frame_size / 2.0
+    return (f * cfg.hop_size + offset) / float(sr)
+
+
+def time_to_frames(times, cfg: StftConfig, sr: float) -> np.ndarray:
+    """Seconds -> nearest frame indices (inverse of `frames_to_time`,
+    clipped at 0)."""
+    t = np.asarray(times, np.float64)
+    offset = 0.0 if cfg.center else cfg.frame_size / 2.0
+    f = np.rint((t * float(sr) - offset) / cfg.hop_size).astype(np.int64)
+    return np.maximum(f, 0)
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_db"))

@@ -106,3 +106,32 @@ def test_tonnetz_shape_and_bounds():
     assert t.shape[-1] == 6
     # L1-normalized chroma through radius-<=1 circles stays in [-1, 1].
     assert np.all(np.abs(t) <= 1.0 + 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# frame/time conversion
+# ---------------------------------------------------------------------------
+
+def test_frames_to_time_roundtrip():
+    from crlot_tpu.segment import frames_to_time, time_to_frames
+
+    f = np.arange(0, 200, 7)
+    t = frames_to_time(f, CFG, SR)
+    np.testing.assert_array_equal(time_to_frames(t, CFG, SR), f)
+
+
+def test_frames_to_time_center_convention():
+    from crlot_tpu.segment import frames_to_time
+
+    c = StftConfig(frame_size=512, hop_size=128, center=True)
+    u = StftConfig(frame_size=512, hop_size=128, center=False)
+    # centered: frame 0 at t=0; uncentered: frame 0 centered mid-frame.
+    assert frames_to_time(0, c, SR) == 0.0
+    assert abs(frames_to_time(0, u, SR) - 256 / SR) < 1e-12
+
+
+def test_time_to_frames_clips_at_zero():
+    from crlot_tpu.segment import time_to_frames
+
+    u = StftConfig(frame_size=512, hop_size=128, center=False)
+    assert time_to_frames(0.0, u, SR) == 0
