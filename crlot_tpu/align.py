@@ -37,6 +37,18 @@ __all__ = ["dtw_cost", "dtw", "dtw_path"]
 _BIG = np.float32(3.0e38)
 
 
+def _as_frames(a) -> "jnp.ndarray":
+    """Coerce to a [N, d] frame matrix: 1-D length-N input is N
+    scalar-feature frames [N, 1] (atleast_2d would silently make it ONE
+    N-dim frame, yielding a meaningless 1x1 alignment); rank > 2 raises."""
+    a = jnp.asarray(a, jnp.float32)
+    if a.ndim == 1:
+        return a[:, None]
+    if a.ndim != 2:
+        raise ValueError(f"expected [N, d] or 1-D [N] series, got {a.shape}")
+    return a
+
+
 @partial(jax.jit, static_argnames=("metric",))
 def dtw_cost(
     x: jnp.ndarray, y: jnp.ndarray, metric: str = "euclidean"
@@ -45,9 +57,12 @@ def dtw_cost(
     Y `[M, d]`. `euclidean` expands |x-y|^2 = |x|^2 + |y|^2 - 2<x, y>
     so the cross term is one MXU matmul (f32 cancellation leaves an
     ~1e-3 absolute floor on near-zero distances — irrelevant at DTW's
-    scale); `cosine` is 1 - normalized dot."""
-    x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
-    y = jnp.atleast_2d(jnp.asarray(y, jnp.float32))
+    scale); `cosine` is 1 - normalized dot.
+
+    A 1-D input of length N is treated as N scalar-feature frames
+    (reshaped to [N, 1]); higher-rank inputs raise."""
+    x = _as_frames(x)
+    y = _as_frames(y)
     if metric == "euclidean":
         sq = (
             jnp.sum(jnp.square(x), axis=1)[:, None]

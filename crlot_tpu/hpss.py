@@ -10,10 +10,11 @@ The reference toolkit stops at the raw spectrum (main/main.cc:186-208);
 this sits on top of the same stft/istft pipeline. TPU shape discipline:
 the sliding median is `k` statically-shifted copies stacked on a new axis
 and reduced with `jnp.median` — no dynamic windows, no data-dependent
-control flow, one jit for the whole separate-and-invert program. Median
-kernel lengths are small (17-31 frames/bins), so the k-fold stack is a
-modest VMEM-resident blowup of a [F, K] spectrogram, and the sort lowers
-to XLA's vectorized bitonic network.
+control flow, one jit for the whole separate-and-invert program. The
+k-fold stack grows linearly with signal length (~715 MB f32 for one
+minute at defaults), so beyond a 128 MB cap it is computed in `lax.map`
+chunks along a non-filtered axis; the sort lowers to XLA's vectorized
+bitonic network either way.
 
 Boundary handling is edge-replication (pad mode "edge"): a median across
 an edge-replicated window never invents energy that was not present,
@@ -33,10 +34,21 @@ from .core.types import StftConfig
 __all__ = ["hpss", "hpss_masks", "harmonic", "percussive"]
 
 
+# Cap on the stacked intermediate's element count (32 M f32 = 128 MB).
+# Beyond it the median is computed in chunks along a non-filtered axis —
+# a naive full stack for one minute of audio at the default HPSS config is
+# ~715 MB (frames x bins x kernel f32) and grows linearly with length.
+_MEDIAN_STACK_ELEMS = 32 * 1024 * 1024
+
+
 def _sliding_median(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
     """Median over a centered length-`size` window along `axis` (odd size;
     edge-replicated boundaries). Static shapes: the window is a stack of
-    `size` shifted slices."""
+    `size` shifted slices. When the stack would exceed
+    `_MEDIAN_STACK_ELEMS`, the input is processed in `lax.map` chunks
+    along its largest non-filtered axis (positions there are independent
+    of the median window), bounding peak memory at O(cap) regardless of
+    signal length."""
     if size < 1 or size % 2 == 0:
         raise ValueError(f"median size must be odd and >= 1, got {size}")
     if size == 1:
@@ -47,10 +59,34 @@ def _sliding_median(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
     pad[axis] = (half, half)
     xp = jnp.pad(x, pad, mode="edge")
     n = x.shape[axis]
-    shifts = [
-        jax.lax.slice_in_dim(xp, k, k + n, axis=axis) for k in range(size)
-    ]
-    return jnp.median(jnp.stack(shifts, axis=-1), axis=-1)
+
+    def med(block: jnp.ndarray, a: int) -> jnp.ndarray:
+        shifts = [
+            jax.lax.slice_in_dim(block, k, k + n, axis=a) for k in range(size)
+        ]
+        return jnp.median(jnp.stack(shifts, axis=-1), axis=-1)
+
+    if x.size * size <= _MEDIAN_STACK_ELEMS or x.ndim == 1:
+        return med(xp, axis)
+
+    other = max(
+        (d for d in range(x.ndim) if d != axis), key=lambda d: x.shape[d]
+    )
+    per_slice = (x.size // x.shape[other]) * size
+    chunk = max(1, _MEDIAN_STACK_ELEMS // per_slice)
+    if chunk >= x.shape[other]:
+        return med(xp, axis)
+    xm = jnp.moveaxis(xp, other, 0)  # chunked axis leading
+    a_moved = axis + 1 if axis < other else axis
+    n_other = xm.shape[0]
+    n_blocks = -(-n_other // chunk)
+    xm = jnp.pad(
+        xm, [(0, n_blocks * chunk - n_other)] + [(0, 0)] * (xm.ndim - 1)
+    )
+    blocks = xm.reshape((n_blocks, chunk) + xm.shape[1:])
+    out = jax.lax.map(lambda b: med(b, a_moved), blocks)
+    out = out.reshape((n_blocks * chunk,) + out.shape[2:])[:n_other]
+    return jnp.moveaxis(out, 0, other)
 
 
 def hpss_masks(

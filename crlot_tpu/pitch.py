@@ -257,6 +257,20 @@ def tempo(
     )[..., :f]
 
     frame_rate = sr / cfg.hop_size
+    # Lag-band feasibility is static (f, frame_rate, bpm bounds are all
+    # trace-time constants): an envelope shorter than one max-tempo period
+    # has NO valid lag, and argmax over an all -inf score would silently
+    # return lag 0 (garbage BPM, observed 5.17e9). Mirror the traced
+    # `valid` mask in numpy and fail loudly at trace time instead.
+    lags_np = np.arange(f, dtype=np.float32)
+    bpm_np = 60.0 * frame_rate / np.maximum(lags_np, 1e-6)
+    if not ((bpm_np >= min_bpm) & (bpm_np <= max_bpm) & (lags_np >= 1)).any():
+        raise ValueError(
+            f"signal too short for tempo(): onset envelope has {f} frames "
+            f"but no autocorrelation lag falls inside [{min_bpm}, {max_bpm}] "
+            f"BPM at frame rate {frame_rate:.1f}/s (the fastest allowed "
+            f"tempo needs {60.0 * frame_rate / max_bpm:.1f} frames)"
+        )
     lags = jnp.arange(f, dtype=jnp.float32)
     bpm = 60.0 * frame_rate / jnp.maximum(lags, 1e-6)  # lag 0 -> huge
     prior = jnp.exp(

@@ -86,3 +86,24 @@ def test_1d_inputs_promoted():
     x = jnp.asarray(np.random.default_rng(4).standard_normal(10), jnp.float32)
     cost, acc = dtw(x[:, None], x[:, None])
     assert float(cost) < 0.05
+
+
+def test_1d_series_treated_as_scalar_features():
+    """Advice r2: 1-D inputs are [N, 1] scalar-feature series, not a single
+    N-dim frame (atleast_2d's silent misread)."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(12).astype(np.float32)
+    y = np.concatenate([x[:3], x]).astype(np.float32)  # shifted/stretched
+    c = dtw_cost(jnp.asarray(x), jnp.asarray(y))
+    assert c.shape == (12, 15)
+    cost, acc = dtw(jnp.asarray(x), jnp.asarray(y))
+    assert acc.shape == (12, 15)
+    assert np.isfinite(float(cost))
+    # identical 1-D series align for free
+    cost_same, _ = dtw(jnp.asarray(x), jnp.asarray(x))
+    assert float(cost_same) < 1e-3
+
+
+def test_rank3_input_raises():
+    with pytest.raises(ValueError, match="expected"):
+        dtw_cost(jnp.ones((2, 3, 4)), jnp.ones((3, 4)))

@@ -123,3 +123,44 @@ def test_wrappers_match_tuple():
     h, p = hpss(x, CFG)
     np.testing.assert_array_equal(np.asarray(harmonic(x, CFG)), np.asarray(h))
     np.testing.assert_array_equal(np.asarray(percussive(x, CFG)), np.asarray(p))
+
+
+def test_sliding_median_chunked_matches_direct(monkeypatch):
+    """The memory-bounded lax.map chunked path (advice r2: the naive stack
+    grows linearly with signal length) must be bit-identical to the direct
+    stacked median."""
+    import sys
+
+    import crlot_tpu.hpss  # noqa: F401 — the package re-exports the
+    hpss_mod = sys.modules["crlot_tpu.hpss"]  # function under this name
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((37, 24)).astype(np.float32)
+    for size, axis in [(5, -1), (7, -2)]:
+        direct = np.asarray(_sliding_median(jnp.asarray(x), size, axis))
+        # Force chunking (cap of 1k elems -> many chunks incl. a ragged tail)
+        monkeypatch.setattr(hpss_mod, "_MEDIAN_STACK_ELEMS", 1024)
+        chunked = np.asarray(_sliding_median(jnp.asarray(x), size, axis))
+        monkeypatch.undo()
+        np.testing.assert_array_equal(chunked, direct)
+
+
+def test_sliding_median_chunked_batched(monkeypatch):
+    """Chunking picks the largest non-filtered axis; batched inputs stay
+    correct."""
+    import sys
+
+    import scipy.ndimage
+
+    import crlot_tpu.hpss  # noqa: F401
+    hpss_mod = sys.modules["crlot_tpu.hpss"]
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((3, 40, 8)).astype(np.float32)
+    monkeypatch.setattr(hpss_mod, "_MEDIAN_STACK_ELEMS", 512)
+    got = np.asarray(_sliding_median(jnp.asarray(x), 5, -2))
+    want = np.stack([
+        scipy.ndimage.median_filter(x[b], size=(5, 1), mode="nearest")
+        for b in range(x.shape[0])
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-6)

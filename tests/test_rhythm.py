@@ -129,3 +129,11 @@ def test_tempogram_peak_at_period():
     # Peak among lags >= 20 sits at the click period (+-2 lags).
     peak = 20 + int(np.argmax(mid[20:]))
     assert abs(peak - period_lag) <= 2.0, (peak, period_lag)
+
+
+def test_tempo_too_short_raises():
+    """Advice r2: sub-lag-band audio used to return garbage (observed
+    5.17e9 BPM from an argmax over all -inf scores); now a trace-time
+    ValueError names the infeasible lag band."""
+    with pytest.raises(ValueError, match="too short for tempo"):
+        tempo(np.zeros(2048, np.float32), CFG, SR)
