@@ -5,7 +5,12 @@ the reference lacks and BASELINE.json makes a first-class target)."""
 from .halo import pull_right_halo, push_right_tail
 from .mesh import CHANNEL_AXIS, TIME_AXIS, auto_mesh, io_sharding, make_mesh
 from .multihost import global_mesh, initialize, process_info
-from .sharded_pipeline import dryrun, sharded_round_trip, sharded_round_trip_jit
+from .sharded_pipeline import (
+    dryrun,
+    metrics_report,
+    sharded_round_trip,
+    sharded_round_trip_jit,
+)
 from .stream import sharded_stream
 
 __all__ = [
@@ -17,6 +22,7 @@ __all__ = [
     "initialize",
     "io_sharding",
     "make_mesh",
+    "metrics_report",
     "process_info",
     "pull_right_halo",
     "push_right_tail",

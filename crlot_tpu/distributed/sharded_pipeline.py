@@ -45,6 +45,7 @@ def _block_round_trip(
     total_len: int,
     spectral_fn: Optional[Callable],
     valid_start: int = 0,
+    with_metrics: bool = False,
 ):
     n, hop = cfg.frame_size, cfg.hop_size
     halo = n - hop
@@ -147,7 +148,21 @@ def _block_round_trip(
 
     # 5. normalize
     eps = jnp.float32(cfg.eps)
-    return acc / jnp.maximum(norm_local, eps)
+    out = acc / jnp.maximum(norm_local, eps)
+    if not with_metrics:
+        return out
+    # 6. in-mesh metric reductions (SURVEY §5 'Metrics'; reference peak
+    # meter OLAAccumulator.cc:290-295, SNR counters e2e_benchmark.cc:79-121):
+    # each shard contributes local partials, one psum/pmax over BOTH mesh
+    # axes replicates the global scalars to every device — no host gather
+    # of the output is needed to meter a sharded stream. The peak meters
+    # all channels (the reference meters ch0 of each produce() block; with
+    # channels sharded, a per-channel meter would defeat the reduction).
+    axes = (CHANNEL_AXIS, TIME_AXIS)
+    sig = jax.lax.psum(jnp.sum(jnp.square(x_local)), axes)
+    noise = jax.lax.psum(jnp.sum(jnp.square(x_local - out)), axes)
+    peak = jax.lax.pmax(jnp.max(jnp.abs(out)), axes)
+    return out, {"signal_energy": sig, "noise_energy": noise, "peak": peak}
 
 
 @lru_cache(maxsize=None)
@@ -164,6 +179,7 @@ def sharded_round_trip(
     spectral_fn: Optional[Callable] = None,
     valid_len: Optional[int] = None,
     valid_start: int = 0,
+    return_metrics: bool = False,
 ) -> jnp.ndarray:
     """Distributed round-trip over a (channel, time) mesh.
 
@@ -173,6 +189,12 @@ def sharded_round_trip(
     the frame set to frames fully inside x[..., valid_start:valid_len] — used
     by the chunked stream driver, whose edge chunks are zero-padded to a
     fixed shape (valid_start must be hop-aligned).
+
+    With `return_metrics=True` returns `(y, metrics)` where `metrics` holds
+    the IN-MESH psum/pmax reductions {signal_energy, noise_energy, peak}
+    (replicated scalars; see `metrics_report` for dB conversion) — the
+    distributed analog of the reference's peak meter and SNR counters
+    (OLAAccumulator.cc:290-295, e2e_benchmark.cc:79-121).
     """
     if mesh is None:
         mesh = auto_mesh()
@@ -214,6 +236,14 @@ def sharded_round_trip(
     )
     window_f64 = get_window(cfg.window, n, cfg.periodic, dtype=np.float64)
 
+    out_specs = PartitionSpec(CHANNEL_AXIS, TIME_AXIS)
+    if return_metrics:
+        # psum/pmax over both axes replicate the metric scalars.
+        out_specs = (out_specs, {
+            "signal_energy": PartitionSpec(),
+            "noise_energy": PartitionSpec(),
+            "peak": PartitionSpec(),
+        })
     fn = jax.shard_map(
         partial(
             _block_round_trip,
@@ -222,17 +252,38 @@ def sharded_round_trip(
             total_len=valid_len,
             spectral_fn=spectral_fn,
             valid_start=valid_start,
+            with_metrics=return_metrics,
         ),
         mesh=mesh,
         in_specs=(
             PartitionSpec(CHANNEL_AXIS, TIME_AXIS),
             PartitionSpec(TIME_AXIS),
         ),
-        out_specs=PartitionSpec(CHANNEL_AXIS, TIME_AXIS),
+        out_specs=out_specs,
     )
     x = jax.device_put(x, NamedSharding(mesh, PartitionSpec(CHANNEL_AXIS, TIME_AXIS)))
     norm = jax.device_put(norm, NamedSharding(mesh, PartitionSpec(TIME_AXIS)))
     return fn(x, norm)
+
+
+def metrics_report(metrics: dict) -> dict:
+    """Convert in-mesh metric reductions to the reference's report units:
+    SNR in dB (e2e_benchmark.cc:79-121) and peak/peak dBFS
+    (OLAAccumulator.cc:290-295)."""
+    sig = float(metrics["signal_energy"])
+    noise = float(metrics["noise_energy"])
+    peak = float(metrics["peak"])
+    if sig <= 0.0:
+        snr = float("-inf")
+    elif noise <= 0.0:
+        snr = float("inf")
+    else:
+        snr = 10.0 * np.log10(sig / noise)
+    return {
+        "snr_db": snr,
+        "peak": peak,
+        "peak_db": 20.0 * np.log10(peak) if peak > 0 else float("-inf"),
+    }
 
 
 def sharded_round_trip_jit(cfg: StftConfig, mesh: Mesh, spectral_fn=None):

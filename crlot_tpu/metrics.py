@@ -2,9 +2,11 @@
 
 Reference: bench/e2e_benchmark.cc:79-121 `QualityMetrics` (SNR dB +
 cross-correlation delay ms reported as benchmark counters) and the running
-peak meter (OLAAccumulator.cc:290-295). Here they are ordinary functions
-returning values; the distributed variants reduce with psum/pmax
-(SURVEY.md §5 'Metrics').
+peak meter (OLAAccumulator.cc:290-295). Here they are ordinary host
+functions returning values; the distributed variants — in-mesh psum SNR
+partials and a pmax peak meter — live in
+`distributed.sharded_pipeline.sharded_round_trip(..., return_metrics=True)`
++ `metrics_report` (SURVEY.md §5 'Metrics').
 """
 
 from __future__ import annotations

