@@ -11,10 +11,11 @@ from .sharded_pipeline import (
     sharded_round_trip,
     sharded_round_trip_jit,
 )
-from .stream import sharded_stream
+from .stream import ShardedStreamer, sharded_stream, sharded_stream_iter
 
 __all__ = [
     "CHANNEL_AXIS",
+    "ShardedStreamer",
     "TIME_AXIS",
     "auto_mesh",
     "dryrun",
@@ -29,4 +30,5 @@ __all__ = [
     "sharded_round_trip",
     "sharded_round_trip_jit",
     "sharded_stream",
+    "sharded_stream_iter",
 ]

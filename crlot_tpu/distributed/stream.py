@@ -77,6 +77,103 @@ def sharded_stream(
     return out
 
 
+class ShardedStreamer:
+    """Explicit-state resumable chunk streamer over the mesh.
+
+    Feed equal-shape hop-aligned [C, S] chunks with `feed()` (returns the
+    reconstructed predecessor chunk, one chunk of latency — the context
+    refeed needs the successor's head) and drain the last chunk with
+    `finish()`. The carried state — previous chunk, its left context, and
+    the stream-head flag — is an ordinary dict of numpy arrays
+    (`state()` / `load_state()`), so a multi-hour stream can checkpoint
+    mid-flight and resume in a fresh process with BIT-IDENTICAL output
+    (the reference has no streaming checkpoint at all; SURVEY.md §5
+    'Checkpoint / resume' makes it a TPU-build requirement).
+    """
+
+    def __init__(
+        self,
+        cfg: StftConfig,
+        mesh: Optional[Mesh] = None,
+        spectral_fn: Optional[Callable] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else auto_mesh()
+        self.spectral_fn = spectral_fn
+        self._n_time = self.mesh.shape[TIME_AXIS]
+        self._l_ctx = _ctx_len(cfg, self._n_time)
+        self._prev: Optional[np.ndarray] = None  # previous chunk
+        self._tail: Optional[np.ndarray] = None  # chunk before that
+        self._first = True  # next processed chunk is the stream head
+        self._s: Optional[int] = None
+
+    def _process(self, left, mid, right, valid_from_mid):
+        l_ctx = self._l_ctx
+        ext = np.concatenate([left[:, -l_ctx:], mid, right[:, :l_ctx]], axis=1)
+        y = np.asarray(
+            sharded_round_trip(
+                jnp.asarray(ext), self.cfg, self.mesh, self.spectral_fn,
+                valid_len=l_ctx + valid_from_mid,
+                valid_start=l_ctx if self._first else 0,
+            )
+        )
+        self._first = False
+        return y[:, l_ctx : l_ctx + mid.shape[1]]
+
+    def feed(self, chunk: np.ndarray) -> Optional[np.ndarray]:
+        chunk = np.asarray(chunk, dtype=np.float32)
+        if self._s is None:
+            self._s = chunk.shape[1]
+            unit = self._n_time * self.cfg.hop_size
+            if self._s % unit or self._s // self._n_time < self.cfg.frame_size:
+                raise ValueError(
+                    f"chunk length {self._s} must be a multiple of {unit} "
+                    f"with {self._s}//{self._n_time} >= frame_size "
+                    f"({self.cfg.frame_size})"
+                )
+            self._tail = np.zeros_like(chunk)
+        elif chunk.shape[1] != self._s:
+            raise ValueError(
+                f"chunk length changed: {chunk.shape[1]} != {self._s}"
+            )
+        out = None
+        if self._prev is not None:
+            out = self._process(
+                self._tail, self._prev, chunk, self._s + self._l_ctx
+            )
+            self._tail = self._prev
+        self._prev = chunk
+        return out
+
+    def finish(self) -> Optional[np.ndarray]:
+        """Drain the final buffered chunk (treats the stream as ended)."""
+        if self._prev is None:
+            return None
+        out = self._process(
+            self._tail, self._prev, np.zeros_like(self._prev), self._s
+        )
+        self._tail = self._prev
+        self._prev = None
+        return out
+
+    def state(self) -> dict:
+        """Picklable/npz-able checkpoint of the stream position."""
+        return {
+            "prev": None if self._prev is None else self._prev.copy(),
+            "tail": None if self._tail is None else self._tail.copy(),
+            "first": self._first,
+            "s": self._s,
+        }
+
+    def load_state(self, st: dict) -> None:
+        self._prev = None if st["prev"] is None else np.asarray(
+            st["prev"], np.float32)
+        self._tail = None if st["tail"] is None else np.asarray(
+            st["tail"], np.float32)
+        self._first = bool(st["first"])
+        self._s = None if st["s"] is None else int(st["s"])
+
+
 def sharded_stream_iter(
     chunks: Iterator[np.ndarray],
     cfg: StftConfig,
@@ -86,44 +183,11 @@ def sharded_stream_iter(
     """Generator variant for true unbounded streams: consumes [C, S] chunks
     (all the same hop-aligned shape) and yields reconstructed [C, S] chunks
     with one chunk of latency (context refeed needs the successor's head)."""
-    if mesh is None:
-        mesh = auto_mesh()
-    n_time = mesh.shape[TIME_AXIS]
-    l_ctx = _ctx_len(cfg, n_time)
-    prev: Optional[np.ndarray] = None  # previous chunk
-    tail_ctx: Optional[np.ndarray] = None  # chunk before that (tail only)
-    s: Optional[int] = None
-
-    def process(left, mid, right, valid_from_mid, first):
-        ext = np.concatenate(
-            [left[:, -l_ctx:], mid, right[:, :l_ctx]], axis=1
-        )
-        valid = l_ctx + valid_from_mid
-        y = np.asarray(
-            sharded_round_trip(
-                jnp.asarray(ext), cfg, mesh, spectral_fn,
-                valid_len=valid,
-                valid_start=l_ctx if first else 0,
-            )
-        )
-        return y[:, l_ctx : l_ctx + mid.shape[1]]
-
-    first = True
+    streamer = ShardedStreamer(cfg, mesh, spectral_fn)
     for chunk in chunks:
-        chunk = np.asarray(chunk, dtype=np.float32)
-        if s is None:
-            s = chunk.shape[1]
-            unit = n_time * cfg.hop_size
-            if s % unit or s // n_time < cfg.frame_size:
-                raise ValueError(
-                    f"chunk length {s} must be a multiple of {unit} with "
-                    f"{s}//{n_time} >= frame_size ({cfg.frame_size})"
-                )
-            tail_ctx = np.zeros_like(chunk)
-        if prev is not None:
-            yield process(tail_ctx, prev, chunk, s + l_ctx, first)
-            first = False
-            tail_ctx = prev
-        prev = chunk
-    if prev is not None:
-        yield process(tail_ctx, prev, np.zeros_like(prev), s, first)
+        out = streamer.feed(chunk)
+        if out is not None:
+            yield out
+    out = streamer.finish()
+    if out is not None:
+        yield out
