@@ -45,16 +45,6 @@ if ! retry 1800 2 python -m crlot_tpu.bench.suite --out "$OUT/suite.json"; then
   echo "bench suite: TIMED OUT (tunnel); continuing with partial suite.json" >&2
 fi
 
-echo "== regression guard =="
-# Non-fatal: the verdict lives in regression.json (exit code recorded); a
-# band violation must not abort the remaining bench steps.
-if [ -f "$OUT/suite.json" ] && python -m crlot_tpu.bench.regression \
-    --current "$OUT/suite.json" | tee "$OUT/regression.json"; then
-  echo "regression guard: PASS"
-else
-  echo "regression guard: FAIL or no suite data (see $OUT)" >&2
-fi
-
 echo "== headline bench =="
 # Regime-aware: bench.py samples within CRLOT_BENCH_BUDGET_S (early exit on
 # the first full-rate window) and emits best-so-far on SIGTERM. Success is
@@ -77,3 +67,16 @@ for attempt in 1 2; do
 done
 cat "$OUT/bench.json"
 [ -s "$OUT/bench.json" ] || { echo "headline bench: FAILED" >&2; exit 1; }
+
+echo "== regression guard =="
+# Runs AFTER the headline bench so the TPU-side regime-normalized metrics
+# (headline_roofline_pct_chip_adjusted, headline_snr_db) are banded too.
+# Non-fatal: the verdict lives in regression.json (exit code recorded); a
+# band violation must not abort the run.
+if [ -f "$OUT/suite.json" ] && python -m crlot_tpu.bench.regression \
+    --current "$OUT/suite.json" --headline "$OUT/bench.json" \
+    | tee "$OUT/regression.json"; then
+  echo "regression guard: PASS"
+else
+  echo "regression guard: FAIL or no suite data (see $OUT)" >&2
+fi

@@ -117,3 +117,78 @@ def test_nan_baseline_is_skipped():
     ok, report = compare(cur, base)
     assert ok
     assert not any(r["metric"] == "ola_n1024_h512_f375_us" for r in report)
+
+
+# ---------------------------------------------------------------------------
+# TPU-side regime-normalized banding (verdict r3 item 3)
+# ---------------------------------------------------------------------------
+
+TPU_BASE = {
+    "headline_roofline_pct_chip_adjusted": 67.4,
+    "headline_snr_db": 95.3,
+}
+
+
+def test_tpu_chip_adjusted_regression_fires():
+    """An injected 20% device-time regression (chip-adjusted roofline pct
+    drops 20%) must fire on TPU — the reference's intent
+    (regression_test.cc:173-186) carried by the regime-normalized metric
+    instead of raw tunnel timings."""
+    cur = dict(TPU_BASE)
+    cur["headline_roofline_pct_chip_adjusted"] = 67.4 * 0.80
+    ok, report = compare(cur, TPU_BASE)
+    assert not ok
+    failed = [r for r in report if r.get("pass") is False]
+    assert failed and failed[0]["metric"] == (
+        "headline_roofline_pct_chip_adjusted")
+
+
+def test_tpu_chip_adjusted_within_band_passes():
+    cur = dict(TPU_BASE)
+    cur["headline_roofline_pct_chip_adjusted"] = 67.4 * 0.95  # -5% < 10%
+    ok, report = compare(cur, TPU_BASE)
+    assert ok, report
+
+
+def test_snr_band_is_absolute_half_db():
+    cur = dict(TPU_BASE)
+    cur["headline_snr_db"] = 95.3 - 0.4  # inside the 0.5 dB band
+    ok, _ = compare(cur, TPU_BASE)
+    assert ok
+    cur["headline_snr_db"] = 95.3 - 0.6  # outside
+    ok, report = compare(cur, TPU_BASE)
+    assert not ok
+    # A relative 10% band would have allowed a 9.5 dB drop; assert the
+    # absolute rule really is the one applied.
+    cur["headline_snr_db"] = 95.3 * 0.92
+    ok, _ = compare(cur, TPU_BASE)
+    assert not ok
+
+
+def test_tpu_baseline_is_armed():
+    """The checked-in baseline must band the regime-normalized TPU metrics
+    (not only quality): an injected regression against the REAL file
+    fires."""
+    with open(_BASELINE_PATH) as f:
+        baselines = json.load(f)
+    tpu = baselines["tpu"]
+    assert "headline_roofline_pct_chip_adjusted" in tpu
+    cur = {
+        "headline_roofline_pct_chip_adjusted":
+            tpu["headline_roofline_pct_chip_adjusted"] * 0.8,
+    }
+    ok, report = compare(cur, tpu)
+    assert not ok, report
+
+
+def test_headline_merge():
+    from crlot_tpu.bench.regression import merge_headline
+
+    cur = {"_backend": "tpu"}
+    merge_headline(cur, {
+        "value": 4.07e9, "roofline_pct": 53.8, "snr_db": 95.3,
+        "roofline_pct_chip_adjusted": 67.4,
+    })
+    assert cur["headline_roofline_pct_chip_adjusted"] == 67.4
+    assert cur["headline_snr_db"] == 95.3
+    assert "headline_roofline_pct" not in cur  # raw pct stays unbanded
