@@ -57,7 +57,9 @@ METRIC = "stft_istft_ola_roundtrip_throughput_n1024_h256"
 FULL_RATE_PCT = 90.0
 
 _ROOT = os.path.dirname(os.path.abspath(__file__))
-STATE_PATH = os.path.join(_ROOT, ".bench_state.json")
+STATE_PATH = os.environ.get(
+    "CRLOT_BENCH_STATE", os.path.join(_ROOT, ".bench_state.json")
+)
 
 # Sources whose changes invalidate persisted measurements (the compute path
 # of the headline chain). Bench-harness-only edits keep the hunt state.
@@ -382,6 +384,54 @@ def main() -> None:
     hbm_peak, bf16_peak, _ = device_specs()
     probes = {"state": "cold"}  # cold -> ready | failed
 
+    # Per-hop-block streaming latency (the real-time metric the reference
+    # tracks as 'algorithmic latency', PHASE0_AUDIT.md:25): device time to
+    # turn ONE hop block around through the streaming scan step. Lazy +
+    # fault-tolerant like the duty probes; measured once per run.
+    lat_state = {"state": "cold", "ms": None}
+
+    def measure_stream_latency():
+        if lat_state["state"] != "cold":
+            return
+        lat_state["state"] = "done"
+        try:
+            from crlot_tpu.streaming_pipeline import (
+                streaming_round_trip_blocks,
+            )
+
+            scfg = StftConfig(
+                frame_size=cfg.frame_size, hop_size=cfg.hop_size,
+                center=False,
+            )
+            n, hop = scfg.frame_size, scfg.hop_size
+            frames1 = jnp.asarray(
+                np.random.default_rng(2)
+                .uniform(-1, 1, (1, 1, n)).astype(np.float32)
+            )
+
+            def one_block(tail):
+                # Thread a carry-derived scalar into the frames: without
+                # it the FFT half is loop-invariant and XLA hoists it out
+                # of the chain (measured 1.2 us/block = OLA only).
+                f1 = frames1 + jnp.sum(tail) * 1e-30
+                out_b, tail2 = streaming_round_trip_blocks(
+                    f1, scfg, 1, None,
+                    carry_tail=tail, return_carry=True,
+                )
+                return tail2 + jnp.sum(out_b) * 1e-30
+
+            fl = _timed_chain_dyn(one_block)
+            tail0 = jnp.zeros(n - hop, jnp.float32)
+            float(fl(1, tail0))  # compile
+            # Sub-0.1 ms stage -> long chains (CLAUDE.md timing hazards).
+            per = _burst(fl, tail0, 20, 220, reps=6)
+            if per is not None:
+                lat_state["ms"] = round(per * 1e3, 4)
+                log(f"stream block latency: {per * 1e6:.1f} us/hop-block "
+                    f"(budget {hop / sr * 1e3:.2f} ms)")
+        except Exception as e:  # noqa: BLE001 — probe must not cost the run
+            log(f"stream latency probe unavailable: {type(e).__name__}: {e}")
+
     def measure_duty():
         """(mxu_duty, hbm_duty), each None if unmeasurable this window."""
         if probes["state"] == "failed":
@@ -440,7 +490,7 @@ def main() -> None:
             duty_fields["roofline_pct_chip_adjusted"] = round(
                 100 * sps / roof_meas, 1
             )
-        return {
+        rec = {
             "metric": METRIC,
             "value": round(sps, 1),
             "unit": "samples/s",
@@ -455,6 +505,12 @@ def main() -> None:
             "hunt": {"run_id": run_id},
             **duty_fields,
         }
+        if lat_state["ms"] is not None:
+            rec["stream_block_latency_ms"] = lat_state["ms"]
+            rec["stream_block_budget_ms"] = round(
+                cfg.hop_size / sr * 1e3, 3
+            )
+        return rec
 
     # Sampling loop: cheap burst -> classify -> accept full-rate immediately,
     # else sleep and re-probe until the budget (minus the time one more
@@ -497,6 +553,7 @@ def main() -> None:
                     # and re-record with the window's duty context.
                     state["record"] = make_record(sps, per_iter, (None, None))
                     duty = measure_duty()
+                    measure_stream_latency()
                     state["record"] = make_record(sps, per_iter, duty)
                     mxu_d, hbm_d = duty
                     log("  window duty: mxu "

@@ -460,6 +460,44 @@ def bench_streaming(results: Dict[str, float]) -> None:
     ref = x[(n_chunks - 1) * chunk_samples + hop :][: len(y)]
     results["stream_tail_chunk_snr_db"] = round(snr_db(ref, y), 1)
 
+    # Per-hop-block LATENCY (verdict r3 item 7; the reference records an
+    # algorithmic latency, docs/PHASE0_AUDIT.md:25, but never measures a
+    # real-time path). The honest real-time metric for the streaming scan
+    # is the device time to turn ONE hop block (H samples) around through
+    # window->rFFT->irFFT->OLA with the carried tail; the block must beat
+    # its own duration (H/sr) for real-time viability. Also reported: the
+    # single-dispatch wall (which on a tunneled chip is dominated by the
+    # ~25 ms RPC) and the algorithmic latency floor (N samples of
+    # lookahead+block).
+    from .stages import _time
+
+    frames1 = jnp.asarray(
+        rng.uniform(-1, 1, (1, 1, n)).astype(np.float32)
+    )
+
+    def one_block(tail):
+        # The carry-derived perturbation must reach the FRAMES too: with
+        # loop-invariant frames XLA hoists the whole FFT half out of the
+        # chain and only the OLA is measured (observed 1.2 us/block).
+        f1 = frames1 + jnp.sum(tail) * 1e-30
+        out_b, tail2 = streaming_round_trip_blocks(
+            f1, cfg, 1, None, carry_tail=tail, return_carry=True,
+        )
+        return tail2 + jnp.sum(out_b) * 1e-30
+
+    tail_in = jnp.zeros(n - hop, jnp.float32)
+    # Sub-0.1 ms stage: long chains (k_big >= 200) per CLAUDE.md timing
+    # hazards, so the differenced device time dominates call jitter.
+    lat_s = _time(one_block, tail_in, reps=6, k_small=20, k_big=220)
+    results["stream_block_latency_ms"] = round(lat_s * 1e3, 4)
+    ob = jax.jit(one_block)
+    np.asarray(ob(tail_in))  # compile before timing the dispatch
+    t0 = time.time()
+    np.asarray(ob(tail_in))
+    results["stream_block_dispatch_ms"] = round((time.time() - t0) * 1e3, 2)
+    results["stream_block_budget_ms"] = round(hop / sr * 1e3, 3)
+    results["stream_algorithmic_latency_ms"] = round(n / sr * 1e3, 2)
+
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
