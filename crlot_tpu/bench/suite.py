@@ -169,6 +169,30 @@ def bench_spectral(results: Dict[str, float]) -> None:
     results["eq_composed_1s48k_ms"] = round(sec * 1e3, 3)
     results["eq_composed_msamples_per_s"] = round(sr / sec / 1e6, 1)
 
+    # Multi-chip EQ: the sharded blocked (hop-block Toeplitz) formulation
+    # with left+right halos (verdict r3 item 6) across all local devices
+    # (1 on a single TPU chip; the 8-virtual-device CPU lane exercises the
+    # real collectives).
+    from ..core.types import FftBackend
+    from ..distributed.mesh import auto_mesh
+    from ..distributed.sharded_pipeline import sharded_round_trip_jit
+
+    scfg = StftConfig(
+        frame_size=1024, hop_size=256, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    mesh = auto_mesh()
+    n_time = mesh.shape["time"]
+    unit = n_time * 512  # group*hop alignment per device
+    total = (seconds * sr // unit) * unit
+    xs = x[:total].reshape(1, total)
+    run = sharded_round_trip_jit(scfg, mesh, spectral_fn=eq)
+    ys = run(jnp.asarray(xs))
+    assert np.isfinite(np.asarray(ys)).all()
+    sec = _time(lambda s: run(s), jnp.asarray(xs)) / (total / sr)
+    results["eq_sharded_blocked_1s48k_ms"] = round(sec * 1e3, 3)
+    results["eq_sharded_blocked_msamples_per_s"] = round(sr / sec / 1e6, 1)
+
 
 def bench_multichannel(results: Dict[str, float]) -> None:
     """BASELINE config 4: 64-channel batch, per-channel STFT/OLA round-trip

@@ -36,3 +36,20 @@ def push_right_tail(tail: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return jax.lax.ppermute(
         tail, axis_name, perm=[(d, d + 1) for d in range(n - 1)]
     )
+
+
+def pull_left_halo(x_local: jnp.ndarray, axis_name: str, halo: int) -> jnp.ndarray:
+    """Receive the LAST `halo` samples of the left neighbor's block (the
+    look-back context of the blocked hop-block Toeplitz formulation).
+
+    x_local: [..., T_block]. Returns [..., halo]; zeros on device 0 —
+    exactly the zero left-padding the single-device blocked kernel sees.
+    """
+    if halo == 0:
+        return x_local[..., :0]
+    n = jax.lax.axis_size(axis_name)
+    tail = x_local[..., -halo:]
+    # send device d's tail to device d+1  (perm pairs are (src, dst))
+    return jax.lax.ppermute(
+        tail, axis_name, perm=[(d, d + 1) for d in range(n - 1)]
+    )

@@ -70,6 +70,7 @@ def sharded_stream(
                 jnp.asarray(buf), cfg, mesh, spectral_fn,
                 valid_len=valid,
                 valid_start=max(0, -ext_start),  # first chunk: stream head
+                allow_blocked=False,  # one formulation for every chunk
             )
         )
         keep = min(s, total - start)
@@ -115,6 +116,10 @@ class ShardedStreamer:
                 jnp.asarray(ext), self.cfg, self.mesh, self.spectral_fn,
                 valid_len=l_ctx + valid_from_mid,
                 valid_start=l_ctx if self._first else 0,
+                # Middle chunks satisfy the blocked gates but edge chunks
+                # never do: one formulation for every chunk keeps the
+                # chunk-vs-one-shot bit-exactness invariant.
+                allow_blocked=False,
             )
         )
         self._first = False
