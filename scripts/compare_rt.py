@@ -166,6 +166,42 @@ def main() -> None:
 
     blocked_eq = blocked_eq_g(1)
 
+    def blocked_id_g(g):
+        # Identity response through the blocked kernel: same output as the
+        # tiled identity round-trip (within tier) at HALF the FLOPs
+        # ((R+G-2)*hop+N = 2048 MACs/sample vs ~4100) and ~6x the
+        # arithmetic intensity — the candidate for keeping MXU duty in
+        # half-rate windows where the balanced tiled path loses overlap
+        # (verdict r3 item 2).
+        def fn(s):
+            from crlot_tpu.fft.matmul_backend import (
+                roundtrip_composed_blocked,
+            )
+
+            ones = np.ones(n // 2 + 1)
+            padded = pad_signal(s, pad, pad, spec.pad_mode, spec.pad_value)
+            acc = roundtrip_composed_blocked(
+                padded, n, hop, num_frames, w64, ones, precision=prec,
+                group=g,
+            )
+            out = acc / jnp.maximum(norm, cfg.eps)
+            return out[..., pad : pad + total]
+
+        return fn
+
+    def split2_tiled(s):
+        # Two independent half-batch tiled streams in one program — the
+        # verdict's suggested restructure: gives XLA's scheduler two
+        # dependency chains whose elementwise passes could interleave with
+        # the other chain's matmuls (if inter-op overlap exists at all).
+        frames = frame_signal(s, spec)
+        f2 = frames.shape[-2] // 2
+        a = roundtrip_folded_tiled(frames[..., :f2, :], n, w64, None, prec)
+        b = roundtrip_folded_tiled(frames[..., f2:, :], n, w64, None, prec)
+        out_frames = jnp.concatenate([a, b], axis=-2)
+        out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
+        return out[..., pad : pad + total]
+
     def tiled_eq(s):
         gains = 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
         frames = frame_signal(s, spec)
@@ -188,6 +224,9 @@ def main() -> None:
         "blocked6_eq": blocked_eq_g(6),
         "composed_conv_eq": composed_conv_eq,
         "tiled_eq": tiled_eq,
+        "blocked2_id": blocked_id_g(2),
+        "blocked3_id": blocked_id_g(3),
+        "split2_tiled": split2_tiled,
         "xla_tiled_jnp_ola": tiled_jnp_ola,
         "fullfused": fullfused,
         "fullfused_t120": fullfused_tile(120),
