@@ -357,7 +357,12 @@ def main() -> None:
     assert snr > 60.0, f"round-trip SNR {snr:.1f} dB < 60 dB gate"
     log(f"SNR gate passed: {snr:.1f} dB")
 
-    roof = roofline_samples_per_sec(cfg.frame_size, cfg.hop_size)
+    # The headline identity round-trip lowers to the BLOCKED hop-block
+    # Toeplitz kernel since r3 (pipeline.py; measured 3.6x the tiled path
+    # in contended windows) — model the formulation that actually runs.
+    roof = roofline_samples_per_sec(
+        cfg.frame_size, cfg.hop_size, formulation="blocked"
+    )
     roof_sps = roof["roofline_samples_per_sec"]
     # Physical plausibility cap: chain-minima differencing can UNDERestimate
     # when the two lengths' minima land in different tunnel windows,

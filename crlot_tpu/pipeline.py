@@ -14,6 +14,7 @@ when a synthesis window is configured). The reference's double-window bug
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Callable, Optional
 
@@ -204,6 +205,26 @@ def round_trip(
     )
     if use_packed:
         w64 = _window_f64(cfg)
+        if per_bin is None and spectral_fn is None:
+            # IDENTITY also lowers to the blocked kernel (per-bin ones):
+            # folding the OLA into the hop-block Toeplitz kernel halves
+            # FLOPs/sample (2048 vs ~4100 MACs) and removes the [F, N]
+            # frame matrix, lifting arithmetic intensity ~6x — measured
+            # 10.59 Gsamples/s vs the tiled path's 2.91 in the SAME
+            # contended half-rate windows (3.6x; scripts/compare_rt.py
+            # 2026-08-21, docs/DESIGN.md 'blocked identity'). Promote only
+            # when the blocked gate fully holds — the composed fallback
+            # would be slower than tiled for identity.
+            from .fft.matmul_backend import composed_block_supported
+
+            spec_ = cfg.frame_spec
+            if (
+                composed_block_supported(cfg.frame_size, cfg.hop_size)
+                and spec_.num_frames(signal.shape[-1])
+                >= 2 * (cfg.frame_size // cfg.hop_size - 1)
+                and os.environ.get("CRLOT_BLOCKED_IDENTITY", "1") != "0"
+            ):
+                per_bin = np.ones(cfg.frame_size // 2 + 1)
         if per_bin is not None:
             from .fft.matmul_backend import composed_block_supported
 

@@ -45,8 +45,31 @@ class PipelineTraffic:
 
 
 def roundtrip_traffic(
-    frame_size: int, hop: int, matmul_fft: bool = True, folded: bool = True
+    frame_size: int, hop: int, matmul_fft: bool = True, folded: bool = True,
+    formulation: str = "framed", group: int = 2,
 ) -> PipelineTraffic:
+    """`formulation="blocked"`: the hop-block Toeplitz round-trip
+    (matmul_backend.roundtrip_composed_blocked — the TPU identity/EQ path
+    since r3). Per output sample the kernel row spans
+    (R + G - 2)*hop + N input samples (R = N/hop), i.e. 2048 MACs at the
+    headline config vs the framed formulation's ~4100, with NO frame
+    matrix: the mg = ceil(kernel_height / (G*hop)) matmul terms each read
+    the signal once and write a partial, and the final fused
+    add+normalize reads the partials + norm and writes the output."""
+    if formulation == "blocked":
+        r = frame_size // hop
+        gh = group * hop
+        height = (r + group - 2) * hop + frame_size
+        mg = -(-height // gh)
+        flops = 2.0 * height + 6  # + normalize epilogue
+        b = (
+            4.0 * mg      # signal read per matmul term
+            + 4.0 * mg    # per-term partial write
+            + 4.0 * mg    # final fused add reads the partials
+            + 4.0         # norm read
+            + 4.0         # output write
+        )
+        return PipelineTraffic(bytes_per_sample=b, flops_per_sample=flops)
     """Ideal-fusion traffic model of frame->window->rFFT->irFFT->OLA->norm.
 
     Per input sample: read x once, write+read the [F, N] frame matrix in both
@@ -82,7 +105,7 @@ def roundtrip_traffic(
 def roofline_samples_per_sec(
     frame_size: int, hop: int, matmul_fft: bool = True,
     device_kind: Optional[str] = None, precision: str = "high",
-    folded: bool = True,
+    folded: bool = True, formulation: str = "framed", group: int = 2,
 ) -> dict:
     """Speed-of-light samples/s for the round-trip on this device: the min of
     the HBM-bandwidth bound and the compute bound, with both reported.
@@ -91,7 +114,8 @@ def roofline_samples_per_sec(
     peak ~ bf16/3) or 'highest' (bf16x6 ~ f32 peak).
     """
     hbm, bf16, f32 = device_specs(device_kind)
-    t = roundtrip_traffic(frame_size, hop, matmul_fft, folded)
+    t = roundtrip_traffic(frame_size, hop, matmul_fft, folded,
+                          formulation, group)
     compute_peak = bf16 / 3.0 if precision == "high" else f32
     bw_bound = hbm / t.bytes_per_sample
     compute_bound = compute_peak / t.flops_per_sample
@@ -102,6 +126,7 @@ def roofline_samples_per_sec(
         "bytes_per_sample": t.bytes_per_sample,
         "flops_per_sample": t.flops_per_sample,
         "precision": precision,
+        "formulation": formulation,
     }
 
 

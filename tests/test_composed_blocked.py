@@ -136,3 +136,35 @@ def test_blocked_gate():
     assert not composed_block_supported(1024, 1024)  # no overlap (R < 2)
     assert not composed_block_supported(8192, 512)  # beyond MAX_MATMUL_NFFT
     assert not composed_block_supported(1024, 300)  # hop does not divide N
+
+
+def test_blocked_identity_matches_round_trip():
+    """The r3 headline route: identity response (per-bin ones) through the
+    blocked kernel must reconstruct the signal like the standard pipeline
+    (the TPU pipeline promotes spectral_fn=None to this kernel; on CPU the
+    promotion is off, so drive the kernel directly)."""
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.metrics import snr_db
+    from crlot_tpu.pipeline import _norm_np, round_trip
+
+    n, hop = 1024, 256
+    cfg = StftConfig(frame_size=n, hop_size=hop, center=True)
+    rng = np.random.default_rng(5)
+    total = 48000
+    x = rng.uniform(-0.9, 0.9, total).astype(np.float32)
+    w = get_window(WindowType.HANN, n, True, dtype=np.float64)
+    xp = np.pad(x, n // 2, mode="reflect")
+    F = (len(xp) - n) // hop + 1
+    full = (F - 1) * hop + n
+    ones = np.ones(n // 2 + 1)
+    acc = roundtrip_composed_blocked(
+        jnp.asarray(xp), n, hop, F, w, ones, group=2
+    )
+    norm = jnp.asarray(_norm_np(cfg, F, full))
+    y = np.asarray(
+        (acc / jnp.maximum(norm, cfg.eps))[n // 2 : n // 2 + total]
+    )
+    assert snr_db(x, y) > 100, snr_db(x, y)  # CPU f32: near-perfect
+    # and it agrees with the standard pipeline's reconstruction
+    y_std = np.asarray(round_trip(jnp.asarray(x), cfg))
+    assert snr_db(y_std, y) > 100
