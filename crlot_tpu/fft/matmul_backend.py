@@ -641,11 +641,23 @@ def roundtrip_composed_blocked(
     synthesis_window_f64=None,
     precision=None,
     group: int = 1,
+    norm_f64=None,
+    eps: float = 1e-8,
 ) -> jnp.ndarray:
     """Composed per-bin round-trip INCLUDING overlap-add as hop-block
     matmuls on the raw signal: returns the UN-normalized OLA accumulation
     of length full = (num_frames-1)*hop + nfft (divide by the COLA norm and
     crop like any other OLA output).
+
+    With `norm_f64` (the [full] f64 COLA norm), the output is NORMALIZED
+    with zero extra passes over the interior: hop-aligned COLA sums are
+    CONSTANT across the steady-state interior (the window's cosine
+    harmonics cancel for R >= harmonics+1), so 1/norm folds into the
+    kernel at f64 design time (via the per-bin response, which scales the
+    composed map linearly); only the 2*(R-1)*hop edge samples — already
+    recomputed exactly from boundary frames — divide by the true edge
+    norm. Requires the interior norm to be constant to 1e-9 relative
+    (asserted; e.g. Hann needs R >= 2, Blackman R >= 3).
 
     Runtime shape: R2 = L/hop matmuls of [B, hop] x [hop, hop] whose
     operands are direct shifted hop-block views of the signal — the frame
@@ -670,7 +682,25 @@ def roundtrip_composed_blocked(
     r_count = nfft // hop
     full = (num_frames - 1) * hop + nfft  # hop | nfft => hop | full
     gh = group * hop
-    kern = _composed_block_kernel_grouped(nfft, hop, group, wb, sb, rb)
+    edge = (r_count - 1) * hop
+    norm_c = None
+    if norm_f64 is not None:
+        norm_arr = np.asarray(norm_f64, np.float64)
+        assert norm_arr.shape[-1] >= full, (norm_arr.shape, full)
+        interior = norm_arr[edge : full - edge]
+        norm_c = float(interior[0])
+        assert norm_c > 0 and (
+            np.max(np.abs(interior - norm_c)) <= 1e-9 * norm_c
+        ), "interior COLA norm not constant; cannot fold into the kernel"
+        # 1/norm folds through the per-bin response (the composed map is
+        # linear in it) at f64 design time; distinct bytes key a distinct
+        # cached kernel.
+        rb_kern = np.ascontiguousarray(
+            np.asarray(per_bin_response, np.complex128) / norm_c
+        ).tobytes()
+    else:
+        rb_kern = rb
+    kern = _composed_block_kernel_grouped(nfft, hop, group, wb, sb, rb_kern)
     mg = -(-kern.shape[0] // gh)  # matmul terms (7 at G=1, 4 at G=2, ...)
     if mg * gh != kern.shape[0]:
         kern = np.pad(kern, ((0, mg * gh - kern.shape[0]), (0, 0)))
@@ -682,8 +712,9 @@ def roundtrip_composed_blocked(
     )
     prec = _prec(precision)
     # Exact edge patch: recompute the head/tail (R-1) blocks from the real
-    # boundary frames (phantom-frame-free).
-    edge = (r_count - 1) * hop
+    # boundary frames (phantom-frame-free); from the UNSCALED basis so the
+    # norm-folded mode can divide them by the true (position-varying)
+    # edge norm.
     m = jnp.asarray(_composed_roundtrip_basis(nfft, wb, sb, rb))
 
     def _edge_frames(start_frame):
@@ -709,6 +740,13 @@ def roundtrip_composed_blocked(
     head = _local_ola(head_of)[..., :edge]
     tail_span = _local_ola(tail_of)
     tail = tail_span[..., tail_span.shape[-1] - edge :]
+    if norm_c is not None:
+        head = head / jnp.asarray(
+            np.maximum(norm_arr[:edge], eps).astype(np.float32)
+        )
+        tail = tail / jnp.asarray(
+            np.maximum(norm_arr[full - edge : full], eps).astype(np.float32)
+        )
     out = jnp.concatenate(
         [head, out[..., edge : full - edge], tail], axis=-1
     )

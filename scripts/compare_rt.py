@@ -189,6 +189,22 @@ def main() -> None:
 
         return fn
 
+    def blocked_id_nf(s):
+        # Norm-folded blocked identity: 1/COLA-norm folded into the kernel
+        # at f64 design time — no norm read, no division pass over the
+        # interior (edges divide by the true edge norm inside the patch).
+        from crlot_tpu.fft.matmul_backend import roundtrip_composed_blocked
+        from crlot_tpu.ola.norm import edge_norm
+
+        ones = np.ones(n // 2 + 1)
+        nf64 = edge_norm(w64, hop, num_frames, full)
+        padded = pad_signal(s, pad, pad, spec.pad_mode, spec.pad_value)
+        out = roundtrip_composed_blocked(
+            padded, n, hop, num_frames, w64, ones, precision=prec,
+            group=2, norm_f64=nf64, eps=cfg.eps,
+        )
+        return out[..., pad : pad + total]
+
     def split2_tiled(s):
         # Two independent half-batch tiled streams in one program — the
         # verdict's suggested restructure: gives XLA's scheduler two
@@ -226,6 +242,7 @@ def main() -> None:
         "tiled_eq": tiled_eq,
         "blocked2_id": blocked_id_g(2),
         "blocked3_id": blocked_id_g(3),
+        "blocked2_id_nf": blocked_id_nf,
         "split2_tiled": split2_tiled,
         "xla_tiled_jnp_ola": tiled_jnp_ola,
         "fullfused": fullfused,

@@ -168,3 +168,52 @@ def test_blocked_identity_matches_round_trip():
     # and it agrees with the standard pipeline's reconstruction
     y_std = np.asarray(round_trip(jnp.asarray(x), cfg))
     assert snr_db(y_std, y) > 100
+
+
+@pytest.mark.parametrize("resp_kind", ["identity", "eq"])
+def test_blocked_norm_folded(resp_kind):
+    """norm_f64 mode: 1/COLA-norm folded into the kernel must equal the
+    unfolded accumulation divided by the norm (interior to f32 rounding,
+    edges via the exact edge-norm division)."""
+    from crlot_tpu.ola.norm import edge_norm
+
+    n, hop = 512, 128
+    total = 8192
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-0.9, 0.9, total).astype(np.float32)
+    w = get_window(WindowType.HANN, n, True, dtype=np.float64)
+    F = (total - n) // hop + 1
+    full = (F - 1) * hop + n
+    resp = (
+        np.ones(n // 2 + 1)
+        if resp_kind == "identity"
+        else 10 ** np.linspace(-0.5, 0.5, n // 2 + 1)
+    )
+    nf64 = edge_norm(w, hop, F, full)
+    got = np.asarray(roundtrip_composed_blocked(
+        jnp.asarray(x), n, hop, F, w, resp, group=2, norm_f64=nf64,
+    ))
+    acc = np.asarray(roundtrip_composed_blocked(
+        jnp.asarray(x), n, hop, F, w, resp, group=2,
+    ))
+    want = acc / np.maximum(nf64, 1e-8).astype(np.float32)
+    err = np.abs(got - want)
+    tol = 2e-5 * max(np.abs(want).max(), 1.0)
+    assert err.max() < tol, err.max()
+
+
+def test_blocked_norm_folded_rejects_nonconstant_interior():
+    """Blackman at R = 2 has a non-constant COLA sum: folding must refuse
+    rather than silently misnormalize."""
+    from crlot_tpu.ola.norm import edge_norm
+
+    n, hop = 512, 256
+    w = get_window(WindowType.BLACKMAN, n, True, dtype=np.float64)
+    F = 12
+    full = (F - 1) * hop + n
+    nf64 = edge_norm(w, hop, F, full)
+    with pytest.raises(AssertionError, match="not constant"):
+        roundtrip_composed_blocked(
+            jnp.zeros(full), n, hop, F, w, np.ones(n // 2 + 1),
+            group=2, norm_f64=nf64,
+        )
