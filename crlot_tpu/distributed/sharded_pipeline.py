@@ -20,6 +20,7 @@ would couple edge devices; center on the host or pad explicitly).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Callable, Optional
 
@@ -168,12 +169,14 @@ def _block_round_trip(
         else None
     )
 
-    if blocked is not None and per_bin is not None:
-        # Fast multi-chip EQ path: hop-block Toeplitz kernel with LEFT +
-        # RIGHT halos; bit-identical to the single-device blocked pipeline
-        # by construction (each output sample is one kernel row).
+    if blocked is not None:
+        # Fast multi-chip EQ/identity path: hop-block Toeplitz kernel with
+        # LEFT + RIGHT halos; summation order identical to the
+        # single-device blocked pipeline by construction (each output
+        # sample is one kernel row). The caller resolved the per-bin
+        # response (ones for identity) when it built the gate.
         acc = _blocked_local_round_trip(
-            x_local, window_f64, cfg, per_bin, blocked["group"],
+            x_local, window_f64, cfg, blocked["per_bin"], blocked["group"],
             blocked["num_frames"], t_block, blocked["n_time"], prec,
         )
         eps = jnp.float32(cfg.eps)
@@ -369,23 +372,33 @@ def sharded_round_trip(
     # and the local blocks align to the group grid; otherwise the masked
     # frame formulation with the tail-seeding protocol.
     blocked = None
-    if spectral_fn is not None and allow_blocked:
+    if allow_blocked:
         from ..core.types import FftBackend
         from ..fft.matmul_backend import composed_block_supported
         from ..spectral import resolve_per_bin_response
 
         group = 2  # measured fastest/most stable (docs/DESIGN.md)
+        if spectral_fn is None:
+            # IDENTITY promotes to per-bin ones, like pipeline.round_trip
+            # (measured 3.6x the tiled path in contended windows).
+            per_bin_b = (
+                np.ones(n // 2 + 1)
+                if os.environ.get("CRLOT_BLOCKED_IDENTITY", "1") != "0"
+                else None
+            )
+        else:
+            per_bin_b = resolve_per_bin_response(spectral_fn, n)
         if (
-            _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
+            per_bin_b is not None
+            and _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
             and composed_block_supported(n, hop)
             and valid_start == 0
             and valid_len == total_len
             and t_block % (group * hop) == 0
             and num_frames >= 2 * (n // hop - 1)
-            and resolve_per_bin_response(spectral_fn, n) is not None
         ):
             blocked = {"group": group, "num_frames": num_frames,
-                       "n_time": n_time}
+                       "n_time": n_time, "per_bin": per_bin_b}
 
     out_specs = PartitionSpec(CHANNEL_AXIS, TIME_AXIS)
     if return_metrics:
