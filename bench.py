@@ -459,6 +459,17 @@ def main() -> None:
             return None, None
         mxu_d = (probe_flops / mxu) / bf16_peak if mxu else None
         hbm_d = (hbm_bytes / hbm) / hbm_peak if hbm else None
+        # Plausibility guard (same failure mode as the pipeline's cap): a
+        # duty meaningfully above 1.0 means the probe's chain minima
+        # landed in different tunnel windows — an artifact, not a
+        # measurement (observed: "145.8%" MXU duty). Drop it rather than
+        # emit an impossible chip rate.
+        if mxu_d is not None and mxu_d > 1.1:
+            log(f"mxu duty probe artifact ({100 * mxu_d:.0f}%): dropped")
+            mxu_d = None
+        if hbm_d is not None and hbm_d > 1.1:
+            log(f"hbm duty probe artifact ({100 * hbm_d:.0f}%): dropped")
+            hbm_d = None
         return mxu_d, hbm_d
 
     def classify(sps: float) -> str:
