@@ -41,14 +41,33 @@ def main() -> int:
         results.append((name, bool(cond), detail))
         print(f"{'PASS' if cond else 'FAIL'} {name} {detail}", flush=True)
 
-    # 1. Round-trip SNR gates on the default (tiled matmul) path, mono and
-    #    batched, both hop ratios.
+    # 1. Round-trip SNR gates on the default path (the blocked identity
+    #    kernel since r3), mono and batched, both hop ratios.
     for hop in (256, 512):
         cfg = ct.StftConfig(frame_size=1024, hop_size=hop, center=True)
         x = rng.uniform(-0.9, 0.9, (2, 24000)).astype(np.float32)
         y = np.asarray(jax.jit(lambda s, c=cfg: ct.round_trip(s, c))(x))
         snr = float(ct.snr_db(x, y))
         check(f"round_trip_h{hop}_batched", snr > 60.0, f"snr={snr:.1f}dB")
+
+    # 1b. Blocked identity (default) vs the tiled formulation (escape
+    #     hatch): same reconstruction within the f32 tier on device.
+    import os as _os
+
+    cfg_b = ct.StftConfig(frame_size=1024, hop_size=256, center=True)
+    xb = rng.uniform(-0.9, 0.9, 24000).astype(np.float32)
+    y_blk = np.asarray(
+        jax.jit(lambda s: ct.round_trip(s, cfg_b))(jnp.asarray(xb))
+    )
+    _os.environ["CRLOT_BLOCKED_IDENTITY"] = "0"
+    try:
+        y_tld = np.asarray(
+            jax.jit(lambda s: ct.round_trip(s, cfg_b))(jnp.asarray(xb))
+        )
+    finally:
+        _os.environ.pop("CRLOT_BLOCKED_IDENTITY", None)
+    agree = float(ct.snr_db(y_tld, y_blk))
+    check("blocked_identity_vs_tiled", agree > 60.0, f"snr={agree:.1f}dB")
 
     # 2. Fused Pallas kernels (both layouts) vs the pipeline output.
     cfg = ct.StftConfig(frame_size=1024, hop_size=256, center=True)
