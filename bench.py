@@ -400,40 +400,25 @@ def main() -> None:
             return
         lat_state["state"] = "done"
         try:
-            from crlot_tpu.streaming_pipeline import (
-                streaming_round_trip_blocks,
+            from crlot_tpu.bench.stages import (
+                STREAM_LAT_K_BIG,
+                STREAM_LAT_K_SMALL,
+                stream_block_probe,
             )
 
             scfg = StftConfig(
                 frame_size=cfg.frame_size, hop_size=cfg.hop_size,
                 center=False,
             )
-            n, hop = scfg.frame_size, scfg.hop_size
-            frames1 = jnp.asarray(
-                np.random.default_rng(2)
-                .uniform(-1, 1, (1, 1, n)).astype(np.float32)
-            )
-
-            def one_block(tail):
-                # Thread a carry-derived scalar into the frames: without
-                # it the FFT half is loop-invariant and XLA hoists it out
-                # of the chain (measured 1.2 us/block = OLA only).
-                f1 = frames1 + jnp.sum(tail) * 1e-30
-                out_b, tail2 = streaming_round_trip_blocks(
-                    f1, scfg, 1, None,
-                    carry_tail=tail, return_carry=True,
-                )
-                return tail2 + jnp.sum(out_b) * 1e-30
-
+            one_block, tail0 = stream_block_probe(scfg)
             fl = _timed_chain_dyn(one_block)
-            tail0 = jnp.zeros(n - hop, jnp.float32)
             float(fl(1, tail0))  # compile
-            # Sub-0.1 ms stage -> long chains (CLAUDE.md timing hazards).
-            per = _burst(fl, tail0, 20, 220, reps=6)
+            per = _burst(fl, tail0, STREAM_LAT_K_SMALL, STREAM_LAT_K_BIG,
+                         reps=6)
             if per is not None:
                 lat_state["ms"] = round(per * 1e3, 4)
                 log(f"stream block latency: {per * 1e6:.1f} us/hop-block "
-                    f"(budget {hop / sr * 1e3:.2f} ms)")
+                    f"(budget {scfg.hop_size / sr * 1e3:.2f} ms)")
         except Exception as e:  # noqa: BLE001 — probe must not cost the run
             log(f"stream latency probe unavailable: {type(e).__name__}: {e}")
 

@@ -52,7 +52,18 @@ def compare(
     report = []
     ok = True
     for name, base in baseline.items():
-        if name.startswith("_") or name not in current:
+        if name.startswith("_"):
+            continue
+        if name not in current:
+            # An armed band that was never measured this run must be
+            # VISIBLE: a contended window that drops the chip-adjusted
+            # headline metric would otherwise yield a silent PASS with
+            # zero timing coverage (review r3 finding). A note, not a
+            # failure — unmeasurable is not a regression verdict.
+            report.append(
+                {"metric": name, "baseline": base, "passed": None,
+                 "note": "armed but not measured this run"}
+            )
             continue
         cur = current[name]
         # A NaN baseline (recorded in a contended window) must not poison

@@ -210,3 +210,34 @@ if __name__ == "__main__":
         main_pipeline(only=only)
     else:
         main()
+
+
+# Canonical chain lengths for the sub-0.1 ms stream-block latency stage
+# (CLAUDE.md timing hazards: short chains cannot cancel tunnel jitter).
+STREAM_LAT_K_SMALL, STREAM_LAT_K_BIG = 20, 220
+
+
+def stream_block_probe(cfg):
+    """(one_block_fn, tail0) for per-hop-block latency timing: ONE hop
+    block through the streaming scan step with the carried OLA tail.
+
+    The carry-derived perturbation is threaded into the FRAMES, not just
+    the tail: with loop-invariant frames XLA hoists the whole FFT half out
+    of a timing chain and only the OLA is measured (observed 1.2 us/block
+    vs the real ~15-20 us). Shared by bench.py's co-measurement and the
+    suite's bench_streaming so the anti-hoisting trick lives in one place.
+    """
+    from ..streaming_pipeline import streaming_round_trip_blocks
+
+    n, hop = cfg.frame_size, cfg.hop_size
+    rng = np.random.default_rng(2)
+    frames1 = jnp.asarray(rng.uniform(-1, 1, (1, 1, n)).astype(np.float32))
+
+    def one_block(tail):
+        f1 = frames1 + jnp.sum(tail) * 1e-30
+        out_b, tail2 = streaming_round_trip_blocks(
+            f1, cfg, 1, None, carry_tail=tail, return_carry=True,
+        )
+        return tail2 + jnp.sum(out_b) * 1e-30
+
+    return one_block, jnp.zeros(n - hop, jnp.float32)

@@ -181,7 +181,7 @@ def bench_spectral(results: Dict[str, float]) -> None:
         frame_size=1024, hop_size=256, center=False,
         fft_backend=FftBackend.MATMUL,
     )
-    mesh = auto_mesh()
+    mesh = auto_mesh(channels=1)  # mono input: all devices on the time axis
     n_time = mesh.shape["time"]
     unit = n_time * 512  # group*hop alignment per device
     total = (seconds * sr // unit) * unit
@@ -493,26 +493,16 @@ def bench_streaming(results: Dict[str, float]) -> None:
     # single-dispatch wall (which on a tunneled chip is dominated by the
     # ~25 ms RPC) and the algorithmic latency floor (N samples of
     # lookahead+block).
-    from .stages import _time
-
-    frames1 = jnp.asarray(
-        rng.uniform(-1, 1, (1, 1, n)).astype(np.float32)
+    from .stages import (
+        STREAM_LAT_K_BIG,
+        STREAM_LAT_K_SMALL,
+        _time,
+        stream_block_probe,
     )
 
-    def one_block(tail):
-        # The carry-derived perturbation must reach the FRAMES too: with
-        # loop-invariant frames XLA hoists the whole FFT half out of the
-        # chain and only the OLA is measured (observed 1.2 us/block).
-        f1 = frames1 + jnp.sum(tail) * 1e-30
-        out_b, tail2 = streaming_round_trip_blocks(
-            f1, cfg, 1, None, carry_tail=tail, return_carry=True,
-        )
-        return tail2 + jnp.sum(out_b) * 1e-30
-
-    tail_in = jnp.zeros(n - hop, jnp.float32)
-    # Sub-0.1 ms stage: long chains (k_big >= 200) per CLAUDE.md timing
-    # hazards, so the differenced device time dominates call jitter.
-    lat_s = _time(one_block, tail_in, reps=6, k_small=20, k_big=220)
+    one_block, tail_in = stream_block_probe(cfg)
+    lat_s = _time(one_block, tail_in, reps=6,
+                  k_small=STREAM_LAT_K_SMALL, k_big=STREAM_LAT_K_BIG)
     results["stream_block_latency_ms"] = round(lat_s * 1e3, 4)
     ob = jax.jit(one_block)
     np.asarray(ob(tail_in))  # compile before timing the dispatch

@@ -47,9 +47,5 @@ def pull_left_halo(x_local: jnp.ndarray, axis_name: str, halo: int) -> jnp.ndarr
     """
     if halo == 0:
         return x_local[..., :0]
-    n = jax.lax.axis_size(axis_name)
-    tail = x_local[..., -halo:]
-    # send device d's tail to device d+1  (perm pairs are (src, dst))
-    return jax.lax.ppermute(
-        tail, axis_name, perm=[(d, d + 1) for d in range(n - 1)]
-    )
+    # Same rightward shift as the OLA tail push — one perm to keep in sync.
+    return push_right_tail(x_local[..., -halo:], axis_name)

@@ -526,8 +526,12 @@ def weak_scaling_model(
 
     halo = cfg.frame_size - cfg.hop_size
     comm_bytes = 2 * halo * 4 * channels_local
+    # Model the BLOCKED formulation (the mesh identity/EQ path since r3):
+    # a faster per-device compute bound is the conservative choice for a
+    # comm-overhead model.
     roof = roofline_samples_per_sec(
-        cfg.frame_size, cfg.hop_size, device_kind=device_kind
+        cfg.frame_size, cfg.hop_size, device_kind=device_kind,
+        formulation="blocked",
     )["roofline_samples_per_sec"]
     t_comp = t_block * channels_local / roof
 
@@ -617,8 +621,12 @@ def dryrun(n_devices: int) -> None:
     )
 
     # One-shot mesh round-trip over the whole signal, with in-mesh metrics.
+    # allow_blocked=False to MATCH the stream's formulation: the streamer
+    # always disables the blocked path (one formulation per chunk), and on
+    # a TPU backend the one-shot identity would otherwise engage it and
+    # break the bit-exactness comparison (review r3 finding).
     y_once, m = sharded_round_trip(
-        jnp.asarray(x), cfg, mesh, return_metrics=True
+        jnp.asarray(x), cfg, mesh, return_metrics=True, allow_blocked=False
     )
     y_once = np.asarray(y_once)
     assert np.array_equal(y_stream, y_once), (

@@ -48,14 +48,31 @@ def roundtrip_traffic(
     frame_size: int, hop: int, matmul_fft: bool = True, folded: bool = True,
     formulation: str = "framed", group: int = 2,
 ) -> PipelineTraffic:
-    """`formulation="blocked"`: the hop-block Toeplitz round-trip
+    """Traffic model of the round-trip, per INPUT sample.
+
+    `formulation="framed"` (default): ideal-fusion model of
+    frame->window->rFFT->irFFT->OLA->norm — read x once, write+read the
+    [F, N] frame matrix in both directions (overlap factor R = N/H),
+    spectrum write+read, write y once. FLOPs: the symmetry-folded DFT
+    matmul is N*(N/2+1) MACs per frame per direction
+    (fft/matmul_backend.py::rfft_folded_packed), the direct basis
+    2*N*(N+2) MACs; FFT is 5*N*log2(N) per direction.
+
+    `formulation="blocked"`: the hop-block Toeplitz round-trip
     (matmul_backend.roundtrip_composed_blocked — the TPU identity/EQ path
     since r3). Per output sample the kernel row spans
     (R + G - 2)*hop + N input samples (R = N/hop), i.e. 2048 MACs at the
     headline config vs the framed formulation's ~4100, with NO frame
     matrix: the mg = ceil(kernel_height / (G*hop)) matmul terms each read
     the signal once and write a partial, and the final fused
-    add+normalize reads the partials + norm and writes the output."""
+    add+normalize reads the partials + norm and writes the output.
+
+    Both models are APPROXIMATE by construction: XLA's fusion can
+    eliminate modeled passes (e.g. folding elementwise stages into matmul
+    operands), so a well-fused pipeline can measure slightly ABOVE this
+    "roofline" — treat roofline_pct near or over 100 as "the modeled
+    passes are fully fused", not as a physical violation.
+    """
     if formulation == "blocked":
         r = frame_size // hop
         gh = group * hop
@@ -70,20 +87,6 @@ def roundtrip_traffic(
             + 4.0         # output write
         )
         return PipelineTraffic(bytes_per_sample=b, flops_per_sample=flops)
-    """Ideal-fusion traffic model of frame->window->rFFT->irFFT->OLA->norm.
-
-    Per input sample: read x once, write+read the [F, N] frame matrix in both
-    directions (overlap factor R = N/H), spectrum write+read, write y once.
-    FLOPs: the symmetry-folded DFT matmul is N*(N/2+1) MACs per frame per
-    direction (fft/matmul_backend.py::rfft_folded_packed), the direct basis
-    2*N*(N+2) MACs; FFT is 5*N*log2(N) per direction.
-
-    APPROXIMATE by construction: XLA's fusion can eliminate some modeled
-    passes (e.g. folding elementwise stages into matmul operands), so a
-    well-fused pipeline can measure slightly ABOVE this "roofline" — treat
-    roofline_pct near or over 100 as "the modeled passes are fully fused",
-    not as a physical violation.
-    """
     import math
 
     r = frame_size / hop

@@ -59,13 +59,18 @@ def main() -> int:
     y_blk = np.asarray(
         jax.jit(lambda s: ct.round_trip(s, cfg_b))(jnp.asarray(xb))
     )
+    _prev_bi = _os.environ.get("CRLOT_BLOCKED_IDENTITY")
     _os.environ["CRLOT_BLOCKED_IDENTITY"] = "0"
     try:
         y_tld = np.asarray(
             jax.jit(lambda s: ct.round_trip(s, cfg_b))(jnp.asarray(xb))
         )
     finally:
-        _os.environ.pop("CRLOT_BLOCKED_IDENTITY", None)
+        # restore (not pop): a user-exported escape-hatch value must survive
+        if _prev_bi is None:
+            _os.environ.pop("CRLOT_BLOCKED_IDENTITY", None)
+        else:
+            _os.environ["CRLOT_BLOCKED_IDENTITY"] = _prev_bi
     agree = float(ct.snr_db(y_tld, y_blk))
     check("blocked_identity_vs_tiled", agree > 60.0, f"snr={agree:.1f}dB")
 

@@ -455,3 +455,33 @@ def test_sharded_blocked_falls_back_when_unaligned():
         spl._blocked_local_round_trip = orig
     assert not calls, "blocked path must not engage on unaligned blocks"
     assert np.isfinite(got).all()
+
+
+def test_stream_matches_oneshot_under_matmul_backend():
+    """Review r3 finding: with the MATMUL backend (the TPU AUTO pick) the
+    one-shot identity engages the blocked path while the chunked stream
+    always disables it — comparisons must match formulations explicitly
+    (this is the north-star dryrun's invariant, exercised here under the
+    backend where it originally broke)."""
+    from crlot_tpu.core.types import FftBackend
+    from crlot_tpu.distributed.stream import ShardedStreamer
+
+    cfg = StftConfig(
+        frame_size=512, hop_size=128, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    mesh = make_mesh(channel=2, time=4)
+    s = 4 * 1024
+    x = _sig(2, 3 * s, seed=41)
+    st = ShardedStreamer(cfg, mesh)
+    outs = [st.feed(x[:, i * s : (i + 1) * s]) for i in range(3)]
+    outs.append(st.finish())
+    y_stream = np.concatenate([o for o in outs if o is not None], axis=1)
+    y_once = np.asarray(sharded_round_trip(
+        jnp.asarray(x), cfg, mesh, allow_blocked=False))
+    np.testing.assert_array_equal(y_stream, y_once)
+    # and the unrestricted one-shot takes the different (blocked) path
+    y_blk = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh))
+    assert not np.array_equal(y_blk, y_once)  # formulations differ...
+    interior = slice(512, 3 * s - 512)
+    assert snr_db(y_once[:, interior], y_blk[:, interior]) > 80  # ...mildly

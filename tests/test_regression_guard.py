@@ -192,3 +192,16 @@ def test_headline_merge():
     assert cur["headline_roofline_pct_chip_adjusted"] == 67.4
     assert cur["headline_snr_db"] == 95.3
     assert "headline_roofline_pct" not in cur  # raw pct stays unbanded
+
+
+def test_armed_but_unmeasured_metric_is_reported():
+    """A baseline key missing from the run (e.g. duty probes dropped in a
+    contended window) must surface as a note — never a silent omission."""
+    cur = {k: v for k, v in TPU_BASE.items()
+           if k != "headline_roofline_pct_chip_adjusted"}
+    ok, report = compare(cur, TPU_BASE)
+    assert ok  # not a failure...
+    notes = [r for r in report
+             if r.get("note") == "armed but not measured this run"]
+    assert notes and notes[0]["metric"] == (
+        "headline_roofline_pct_chip_adjusted")  # ...but visible
