@@ -67,7 +67,35 @@ def main() -> None:
     covered = (cfg.frame_spec.num_frames(8192) - 1) * 32 + 128
     snr = snr_db(x[:, 128:covered - 128], np.asarray(y_np)[:, 128:covered - 128])
     assert snr > 80, snr
-    print(f"MULTIHOST_OK {snr:.1f}", flush=True)
+
+    # Blocked formulation across the DCN seam (r3): the left+right halo
+    # ppermutes of the hop-block Toeplitz path cross the process boundary.
+    # Reference = the kernel computed directly (compile-context ULP apart).
+    from crlot_tpu.core.types import FftBackend
+    from crlot_tpu.fft import dispatch as _fftd
+    from crlot_tpu.fft.matmul_backend import roundtrip_composed_blocked
+    from crlot_tpu.ola.norm import edge_norm
+    from crlot_tpu.window.windows import get_window
+
+    cfg_b = StftConfig(
+        frame_size=512, hop_size=128, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    yb = sharded_round_trip(jnp.asarray(x), cfg_b, mesh)  # identity->blocked
+    yb_np = np.asarray(multihost_utils.process_allgather(yb, tiled=True))
+    nfr = (8192 - 512) // 128 + 1
+    w64 = get_window(cfg_b.window, 512, cfg_b.periodic, dtype=np.float64)
+    acc = roundtrip_composed_blocked(
+        jnp.asarray(x), 512, 128, nfr, w64, np.ones(257),
+        precision=_fftd.to_lax_precision(cfg_b.fft_precision), group=2,
+    )
+    norm = jnp.asarray(edge_norm(w64, 128, nfr, 8192).astype(np.float32))
+    ref_b = np.asarray(acc / jnp.maximum(norm, jnp.float32(cfg_b.eps)))
+    np.testing.assert_allclose(yb_np, ref_b, rtol=5e-6, atol=1e-5)
+    snr_b = snr_db(x[:, 512:-512], yb_np[:, 512:-512])
+    assert snr_b > 80, snr_b
+
+    print(f"MULTIHOST_OK {snr:.1f} blocked={snr_b:.1f}", flush=True)
 
 
 if __name__ == "__main__":
