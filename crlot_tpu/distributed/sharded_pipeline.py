@@ -641,6 +641,20 @@ def dryrun(n_devices: int) -> None:
     acct = collective_bytes_per_step(cfg, mesh, channels, ext_len)
     halo_bytes = (cfg.frame_size - cfg.hop_size) * 4 * (channels // n_ch)
     assert acct["bytes_per_device_per_step"] == 2 * halo_bytes, acct
+    # The blocked (hop-block Toeplitz) formulation moves the SAME volume,
+    # split as a LEFT input halo + RIGHT input halo instead of right halo
+    # + OLA tail — account it from its own compiled HLO (forced MATMUL so
+    # the identity promotion engages on any backend).
+    from ..core.types import FftBackend
+
+    cfg_b = StftConfig(
+        frame_size=cfg.frame_size, hop_size=cfg.hop_size, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    acct_blocked = collective_bytes_per_step(cfg_b, mesh, channels, ext_len)
+    assert acct_blocked["bytes_per_device_per_step"] == 2 * halo_bytes, (
+        acct_blocked
+    )
     # The scaling model is a claim about the TARGET hardware (v5e pods per
     # BASELINE.json), not about whatever backend hosts this dryrun.
     target = "TPU v5 lite"
@@ -661,6 +675,7 @@ def dryrun(n_devices: int) -> None:
         "checkpoint_resume_bitexact": True,
         "mesh_metrics": {k: round(float(v), 3) for k, v in rep.items()},
         "collectives": acct,
+        "collectives_blocked_formulation": acct_blocked,
         "weak_scaling_model_dryrun_block": model,
         "weak_scaling_model_1s_block": model_1s,
     }))
