@@ -372,32 +372,12 @@ def sharded_round_trip(
     # and the local blocks align to the group grid; otherwise the masked
     # frame formulation with the tail-seeding protocol.
     blocked = None
-    if allow_blocked:
-        from ..core.types import FftBackend
-        from ..fft.matmul_backend import composed_block_supported
-        from ..spectral import resolve_per_bin_response
-
-        group = 2  # measured fastest/most stable (docs/DESIGN.md)
-        if spectral_fn is None:
-            # IDENTITY promotes to per-bin ones, like pipeline.round_trip
-            # (measured 3.6x the tiled path in contended windows).
-            per_bin_b = (
-                np.ones(n // 2 + 1)
-                if os.environ.get("CRLOT_BLOCKED_IDENTITY", "1") != "0"
-                else None
-            )
-        else:
-            per_bin_b = resolve_per_bin_response(spectral_fn, n)
-        if (
-            per_bin_b is not None
-            and _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
-            and composed_block_supported(n, hop)
-            and valid_start == 0
-            and valid_len == total_len
-            and t_block % (group * hop) == 0
-            and num_frames >= 2 * (n // hop - 1)
-        ):
-            blocked = {"group": group, "num_frames": num_frames,
+    if allow_blocked and valid_start == 0 and valid_len == total_len:
+        per_bin_b = blocked_per_bin(
+            cfg, spectral_fn, t_block=t_block, num_frames=num_frames
+        )
+        if per_bin_b is not None:
+            blocked = {"group": BLOCKED_GROUP, "num_frames": num_frames,
                        "n_time": n_time, "per_bin": per_bin_b}
 
     out_specs = PartitionSpec(CHANNEL_AXIS, TIME_AXIS)
@@ -429,6 +409,48 @@ def sharded_round_trip(
     x = jax.device_put(x, NamedSharding(mesh, PartitionSpec(CHANNEL_AXIS, TIME_AXIS)))
     norm = jax.device_put(norm, NamedSharding(mesh, PartitionSpec(TIME_AXIS)))
     return fn(x, norm)
+
+
+BLOCKED_GROUP = 2  # measured fastest/most stable (docs/DESIGN.md)
+
+
+def blocked_per_bin(
+    cfg: StftConfig,
+    spectral_fn: Optional[Callable],
+    t_block: int,
+    num_frames: int,
+) -> Optional[np.ndarray]:
+    """The per-bin response the blocked mesh formulation would use for a
+    FULL-COVERAGE sharded_round_trip with these shapes, or None when the
+    gate does not hold (wrong backend pick, unsupported N/hop, unaligned
+    blocks, too few frames, non-per-bin spectral fn, or the
+    CRLOT_BLOCKED_IDENTITY=0 escape hatch). Shared by the gate and by the
+    dryrun's accounting assert so 'measured the blocked program' is a
+    checkable fact, not an assumption (review r3 finding: both
+    formulations move the same collective volume, so byte counts alone
+    cannot distinguish them)."""
+    from ..core.types import FftBackend
+    from ..fft.matmul_backend import composed_block_supported
+    from ..spectral import resolve_per_bin_response
+
+    n, hop = cfg.frame_size, cfg.hop_size
+    if spectral_fn is None:
+        # IDENTITY promotes to per-bin ones, like pipeline.round_trip
+        # (measured 3.6x the tiled path in contended windows).
+        if os.environ.get("CRLOT_BLOCKED_IDENTITY", "1") == "0":
+            return None
+        per_bin = np.ones(n // 2 + 1)
+    else:
+        per_bin = resolve_per_bin_response(spectral_fn, n)
+    if (
+        per_bin is not None
+        and _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
+        and composed_block_supported(n, hop)
+        and t_block % (BLOCKED_GROUP * hop) == 0
+        and num_frames >= 2 * (n // hop - 1)
+    ):
+        return per_bin
+    return None
 
 
 def metrics_report(metrics: dict) -> dict:
@@ -651,6 +673,12 @@ def dryrun(n_devices: int) -> None:
         frame_size=cfg.frame_size, hop_size=cfg.hop_size, center=False,
         fft_backend=FftBackend.MATMUL,
     )
+    # Both formulations move identical volume, so byte counts alone cannot
+    # prove WHICH program was measured — assert engagement explicitly.
+    nf_b = (ext_len - cfg.frame_size) // cfg.hop_size + 1
+    assert blocked_per_bin(
+        cfg_b, None, t_block=ext_len // n_time, num_frames=nf_b
+    ) is not None, "blocked formulation did not engage for the accounting"
     acct_blocked = collective_bytes_per_step(cfg_b, mesh, channels, ext_len)
     assert acct_blocked["bytes_per_device_per_step"] == 2 * halo_bytes, (
         acct_blocked

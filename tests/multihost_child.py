@@ -18,6 +18,10 @@ import sys
 # Must be set before jax import; override whatever the parent had.
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ.pop("JAX_PLATFORMS", None)
+# The blocked-formulation leg below must actually test the blocked path:
+# an inherited CRLOT_BLOCKED_IDENTITY=0 would silently fall back to the
+# masked-frame formulation (and fail the tight kernel comparison).
+os.environ["CRLOT_BLOCKED_IDENTITY"] = "1"
 
 import jax  # noqa: E402
 
@@ -83,16 +87,18 @@ def main() -> None:
     )
     yb = sharded_round_trip(jnp.asarray(x), cfg_b, mesh)  # identity->blocked
     yb_np = np.asarray(multihost_utils.process_allgather(yb, tiled=True))
-    nfr = (8192 - 512) // 128 + 1
-    w64 = get_window(cfg_b.window, 512, cfg_b.periodic, dtype=np.float64)
+    nb, hb = cfg_b.frame_size, cfg_b.hop_size
+    total = x.shape[-1]
+    nfr = cfg_b.frame_spec.num_frames(total)
+    w64 = get_window(cfg_b.window, nb, cfg_b.periodic, dtype=np.float64)
     acc = roundtrip_composed_blocked(
-        jnp.asarray(x), 512, 128, nfr, w64, np.ones(257),
+        jnp.asarray(x), nb, hb, nfr, w64, np.ones(nb // 2 + 1),
         precision=_fftd.to_lax_precision(cfg_b.fft_precision), group=2,
     )
-    norm = jnp.asarray(edge_norm(w64, 128, nfr, 8192).astype(np.float32))
+    norm = jnp.asarray(edge_norm(w64, hb, nfr, total).astype(np.float32))
     ref_b = np.asarray(acc / jnp.maximum(norm, jnp.float32(cfg_b.eps)))
     np.testing.assert_allclose(yb_np, ref_b, rtol=5e-6, atol=1e-5)
-    snr_b = snr_db(x[:, 512:-512], yb_np[:, 512:-512])
+    snr_b = snr_db(x[:, nb:-nb], yb_np[:, nb:-nb])
     assert snr_b > 80, snr_b
 
     print(f"MULTIHOST_OK {snr:.1f} blocked={snr_b:.1f}", flush=True)

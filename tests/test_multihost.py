@@ -47,7 +47,9 @@ def test_two_process_distributed_round_trip():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            # two extra compiled programs per child since the blocked
+            # leg landed; contended machines stretch compiles ~3x
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
