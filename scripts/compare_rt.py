@@ -263,17 +263,13 @@ def main() -> None:
 
     from crlot_tpu.profiling import roofline_samples_per_sec
 
-    # Cap against the FASTEST modeled formulation (blocked since r3) so a
-    # legitimately faster variant is not flagged as an artifact.
-    cap = 1.35 * max(
-        b
+    # Cap at the hardest physical ceiling across formulations: the COMPUTE
+    # bound (FLOP counts are exact, MXU peak is hardware; only the byte
+    # model is conservative). 5% slack for measurement jitter.
+    cap = 1.05 * max(
+        roofline_samples_per_sec(n, hop, formulation=form)[
+            "compute_bound_samples_per_sec"]
         for form in ("framed", "blocked")
-        for b in (
-            roofline_samples_per_sec(n, hop, formulation=form)[
-                "bandwidth_bound_samples_per_sec"],
-            roofline_samples_per_sec(n, hop, formulation=form)[
-                "compute_bound_samples_per_sec"],
-        )
     )
     t = {name: ([], []) for name in chains}
     for _ in range(ROUNDS):
