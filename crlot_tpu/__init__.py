@@ -49,6 +49,10 @@ from .features import (
     mfcc,
     mfcc_to_mel,
     pcen,
+    amplitude_to_db,
+    db_to_amplitude,
+    db_to_power,
+    magphase,
     power_to_db,
     pseudo_cqt,
     real_cepstrum,

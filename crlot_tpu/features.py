@@ -198,6 +198,34 @@ def power_to_db(p: jnp.ndarray, floor_db: float = -100.0,
     return 10.0 * jnp.log10(jnp.maximum(p / ref, floor))
 
 
+def amplitude_to_db(a: jnp.ndarray, floor_db: float = -100.0,
+                    ref: float = 1.0) -> jnp.ndarray:
+    """20*log10(|a|/ref), floored at `floor_db` (no -inf on silence)."""
+    floor = 10.0 ** (floor_db / 20.0)
+    return 20.0 * jnp.log10(jnp.maximum(jnp.abs(a) / ref, floor))
+
+
+def db_to_power(db: jnp.ndarray, ref: float = 1.0) -> jnp.ndarray:
+    """Inverse of `power_to_db` (above its floor): ref * 10^(db/10)."""
+    return ref * 10.0 ** (jnp.asarray(db) / 10.0)
+
+
+def db_to_amplitude(db: jnp.ndarray, ref: float = 1.0) -> jnp.ndarray:
+    """Inverse of `amplitude_to_db` (above its floor): ref * 10^(db/20)."""
+    return ref * 10.0 ** (jnp.asarray(db) / 20.0)
+
+
+def magphase(spec: jnp.ndarray):
+    """Split a complex spectrogram into (magnitude, unit-phasor) with
+    `mag * phasor == spec`; zero bins get phasor 1 (not NaN)."""
+    mag = jnp.abs(spec)
+    phasor = jnp.where(
+        mag > 0, spec / jnp.where(mag > 0, mag, 1.0),
+        jnp.ones((), spec.dtype),
+    )
+    return mag, phasor
+
+
 @partial(jax.jit, static_argnames=(
     "cfg", "sr", "n_mfcc", "n_mels", "fmin", "fmax", "htk", "norm",
     "floor_db"))

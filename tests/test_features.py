@@ -565,3 +565,52 @@ def test_delta_validation_and_order2():
     with pytest.raises(ValueError):
         delta(feat, order=0)
     assert np.asarray(delta(feat, order=2)).shape == feat.shape
+
+
+# ---------------------------------------------------------------------------
+# dB conversions + magphase (librosa-parity conveniences, r3)
+# ---------------------------------------------------------------------------
+
+def test_db_conversions_roundtrip():
+    from crlot_tpu.features import (
+        amplitude_to_db,
+        db_to_amplitude,
+        db_to_power,
+        power_to_db,
+    )
+
+    rng = np.random.default_rng(3)
+    p = jnp.asarray(rng.uniform(1e-6, 10.0, 64).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(db_to_power(power_to_db(p))), np.asarray(p), rtol=1e-5
+    )
+    a = jnp.sqrt(p)
+    np.testing.assert_allclose(
+        np.asarray(db_to_amplitude(amplitude_to_db(a))), np.asarray(a),
+        rtol=1e-5,
+    )
+    # amplitude dB == power dB of the square
+    np.testing.assert_allclose(
+        np.asarray(amplitude_to_db(a)), np.asarray(power_to_db(p)),
+        atol=1e-4,
+    )
+    # silence floors instead of -inf
+    assert float(power_to_db(jnp.zeros(1))[0]) == -100.0
+    assert float(amplitude_to_db(jnp.zeros(1))[0]) == -100.0
+
+
+def test_magphase_reconstructs():
+    from crlot_tpu.features import magphase
+
+    rng = np.random.default_rng(4)
+    spec = jnp.asarray(
+        (rng.standard_normal((5, 9)) + 1j * rng.standard_normal((5, 9)))
+        .astype(np.complex64)
+    )
+    spec = spec.at[0, 0].set(0.0)  # zero bin: phasor must be 1, not NaN
+    mag, ph = magphase(spec)
+    np.testing.assert_allclose(
+        np.asarray(mag * ph), np.asarray(spec), atol=1e-6
+    )
+    np.testing.assert_allclose(np.abs(np.asarray(ph)), 1.0, atol=1e-6)
+    assert np.asarray(ph)[0, 0] == 1.0
