@@ -78,7 +78,9 @@ def code_fingerprint() -> str:
     h = hashlib.sha256()
     for pat in _FINGERPRINT_GLOBS:
         for f in sorted(glob.glob(os.path.join(_ROOT, pat))):
-            h.update(f.encode())
+            # Relative path: an identical tree at a different checkout path
+            # must keep its witnessed record (advisor r3 finding).
+            h.update(os.path.relpath(f, _ROOT).encode())
             with open(f, "rb") as fh:
                 h.update(fh.read())
     return h.hexdigest()[:16]

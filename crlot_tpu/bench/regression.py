@@ -61,7 +61,7 @@ def compare(
             # zero timing coverage (review r3 finding). A note, not a
             # failure — unmeasurable is not a regression verdict.
             report.append(
-                {"metric": name, "baseline": base, "passed": None,
+                {"metric": name, "baseline": base, "pass": None,
                  "note": "armed but not measured this run"}
             )
             continue
@@ -76,7 +76,7 @@ def compare(
             # measure; an unmeasurable run is not a regression verdict.
             report.append(
                 {"metric": name, "baseline": base, "current": cur,
-                 "passed": None, "note": "unmeasurable (NaN) — skipped"}
+                 "pass": None, "note": "unmeasurable (NaN) — skipped"}
             )
             continue
         band = band_for(name)

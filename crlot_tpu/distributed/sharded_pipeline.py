@@ -68,6 +68,20 @@ def _blocked_local_round_trip(
     Preconditions (gated by the caller): composed_block_supported,
     t_block % (group*hop) == 0, full-coverage frame set (valid_start == 0,
     valid_len == T), num_frames >= 2*(N/hop - 1).
+
+    COMM/COMPUTE OVERLAP (r4): the main hop-block matmul chain reads ONLY
+    x_local (zero-padded halos), so it has NO data dependence on the two
+    `ppermute`s; the received halos are consumed by small edge-correction
+    matmuls ([C, halo] x [halo, group*hop] per boundary block row) that
+    come last. XLA's latency-hiding scheduler can therefore issue
+    collective-permute-start before the local dot chain and land the
+    -done only where the corrections need it — the structural property
+    the weak-scaling model's overlap bound assumes (asserted at jaxpr
+    level in tests/test_distributed.py). Numerics: zero-padded partial
+    rows plus a halo correction reorders the boundary samples' float
+    summation vs the single-device full-row dot by at most the split
+    point — within the mesh-consistency test's 3e-6 rtol; the GLOBAL
+    head/tail edge samples stay bit-identical (patched below).
     """
     from ..fft.matmul_backend import (
         _composed_block_kernel_grouped,
@@ -84,23 +98,47 @@ def _blocked_local_round_trip(
     sb = wb if cfg.synthesis_window else None
     rb = np.ascontiguousarray(per_bin, np.complex128).tobytes()
 
+    # Issue both halo exchanges FIRST (the scheduler overlaps them with
+    # the interior matmuls below, which do not consume them).
     left = pull_left_halo(x_local, TIME_AXIS, halo)
     right = pull_right_halo(x_local, TIME_AXIS, halo)
-    x_blk = jnp.concatenate([left, x_local, right], axis=-1)
 
     kern = _composed_block_kernel_grouped(n, hop, group, wb, sb, rb)
     mg = -(-kern.shape[0] // gh)
     if mg * gh != kern.shape[0]:
         kern = np.pad(kern, ((0, mg * gh - kern.shape[0]), (0, 0)))
-    # x_blk already holds the (mg-1)*gh == 2*halo halo samples the rows
-    # read past the block, so hopblock_apply needs no zero padding (its
-    # left/right pads land on zero kernel rows only).
-    acc = hopblock_apply(x_blk, kern, gh, t_block, left=0, precision=prec)
+    # Interior: the single-device program on this block (zero halos).
+    acc = hopblock_apply(x_local, kern, gh, t_block, left=halo,
+                         precision=prec)
+    # Halo corrections. Output sample y[t] (t in [0, t_block)) reads
+    # extended positions [t, t + mg*gh) of [left | x_local | right], i.e.
+    # y-block b consumes kern rows u = pos - b*gh. The left halo
+    # (positions [0, halo)) reaches blocks b*gh < halo; the right halo
+    # (positions [halo + t_block, halo + t_block + halo)) reaches blocks
+    # with b*gh + mg*gh > halo + t_block.
+    kj = jnp.asarray(kern)
+    nb = t_block // gh
+    for b in range(-(-halo // gh)):
+        corr = jnp.dot(left[..., b * gh :], kj[: halo - b * gh, :],
+                       precision=prec)
+        acc = acc.at[..., b * gh : (b + 1) * gh].add(corr)
+    for b in range(nb):
+        u_lo = halo + t_block - b * gh
+        if u_lo >= mg * gh:
+            continue
+        hi = min(mg * gh - u_lo, halo)
+        corr = jnp.dot(right[..., :hi], kj[u_lo : u_lo + hi, :],
+                       precision=prec)
+        acc = acc.at[..., b * gh : (b + 1) * gh].add(corr)
 
     # Exact phantom-frame patches (identical op sequence to
     # roundtrip_composed_blocked so edge devices stay bit-identical to the
     # single-device path): recompute the global head/tail (R-1) hop-blocks
-    # from the real boundary frames.
+    # from the real boundary frames. The patch frames may straddle the
+    # left halo (when t_block < 2*halo), so they read the concatenated
+    # view — small matmuls in the consume-the-halo-last set, like the
+    # corrections above.
+    x_blk = jnp.concatenate([left, x_local, right], axis=-1)
     m = jnp.asarray(_composed_roundtrip_basis(n, wb, sb, rb))
     edge = (r_count - 1) * hop
 
@@ -506,11 +544,14 @@ def collective_bytes_per_step(
     txt = jax.jit(run).lower(x).compile().as_text()
     dsize = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4}
     per_op = []
-    # Count only the -start ops (async HLO pairs each permute with a
-    # -done consuming the same shape; counting both would double it).
+    # Count only the op definitions (sync `collective-permute(` or async
+    # `collective-permute-start(`): anchoring on the opcode immediately
+    # followed by its operand list keeps `-done` lines from matching
+    # through their `%collective-permute-start.N` operand NAME, which
+    # would double-count every async pair (advisor r3 finding).
     for m in re.finditer(
         r"(f64|f32|bf16|f16|s32|u32)\[([\d,]*)\][^\n]*"
-        r"collective-permute(?!-done)", txt
+        r"collective-permute(?:-start)?\(", txt
     ):
         n = 1
         for d in m.group(2).split(",") if m.group(2) else []:

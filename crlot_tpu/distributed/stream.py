@@ -107,6 +107,7 @@ class ShardedStreamer:
         self._tail: Optional[np.ndarray] = None  # chunk before that
         self._first = True  # next processed chunk is the stream head
         self._s: Optional[int] = None
+        self._finished = False  # finish() ends the stream; feed() raises
 
     def _process(self, left, mid, right, valid_from_mid):
         l_ctx = self._l_ctx
@@ -126,6 +127,13 @@ class ShardedStreamer:
         return y[:, l_ctx : l_ctx + mid.shape[1]]
 
     def feed(self, chunk: np.ndarray) -> Optional[np.ndarray]:
+        if self._finished:
+            # Silently continuing would reuse the drained chunk as left
+            # context with no stream-head masking (advisor r3 finding).
+            raise RuntimeError(
+                "feed() after finish(): the stream has ended; create a new "
+                "ShardedStreamer (or load_state a checkpoint) to continue"
+            )
         chunk = np.asarray(chunk, dtype=np.float32)
         if self._s is None:
             self._s = chunk.shape[1]
@@ -152,6 +160,7 @@ class ShardedStreamer:
 
     def finish(self) -> Optional[np.ndarray]:
         """Drain the final buffered chunk (treats the stream as ended)."""
+        self._finished = True
         if self._prev is None:
             return None
         out = self._process(
@@ -171,6 +180,7 @@ class ShardedStreamer:
         }
 
     def load_state(self, st: dict) -> None:
+        self._finished = False  # a restored checkpoint resumes the stream
         self._prev = None if st["prev"] is None else np.asarray(
             st["prev"], np.float32)
         self._tail = None if st["tail"] is None else np.asarray(

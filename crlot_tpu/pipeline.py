@@ -245,13 +245,35 @@ def round_trip(
                     signal, spec_.pad_amount, spec_.pad_amount,
                     spec_.pad_mode, spec_.pad_value,
                 )
-                acc = roundtrip_composed_blocked(
+                # NORM-FOLD mode (measured parity with divide-after, but
+                # one fewer logical pass and exact-f64 normalization;
+                # docs/DESIGN.md 'Norm folding'): when the interior COLA
+                # sum is constant — true for any window whose hop-aligned
+                # cosine harmonics cancel at this R — 1/norm folds into
+                # the kernel at design time and only the 2*(R-1)*hop edge
+                # samples divide by the true position-varying norm.
+                full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
+                norm_arr = _norm_np(cfg, num_frames, full)
+                edge = (cfg.frame_size // cfg.hop_size - 1) * cfg.hop_size
+                interior = norm_arr[edge : full - edge]
+                fold_ok = (
+                    interior.size > 0
+                    and interior[0] > 0
+                    and np.max(np.abs(interior - interior[0]))
+                    <= 1e-9 * interior[0]
+                )
+                out = roundtrip_composed_blocked(
                     padded, cfg.frame_size, cfg.hop_size, num_frames, w64,
                     per_bin, w64 if cfg.synthesis_window else None,
                     precision=_fft.to_lax_precision(cfg.fft_precision),
                     group=2,
+                    norm_f64=norm_arr if fold_ok else None,
+                    eps=cfg.eps,
                 )
-                return norm_crop(acc, num_frames)
+                if not fold_ok:
+                    return norm_crop(out, num_frames)
+                pad = spec_.pad_amount
+                return out[..., pad : pad + signal.shape[-1]]
             # Always the f32 composed path, regardless of tier: the int8
             # variant (int8_backend.roundtrip_composed_i8) loses SNR on
             # near-diagonal circulants and could dip below the 60 dB bar

@@ -485,3 +485,82 @@ def test_stream_matches_oneshot_under_matmul_backend():
     assert not np.array_equal(y_blk, y_once)  # formulations differ...
     interior = slice(512, 3 * s - 512)
     assert snr_db(y_once[:, interior], y_blk[:, interior]) > 80  # ...mildly
+
+
+def test_streamer_feed_after_finish_raises():
+    """finish() ends the stream; a silent feed() would reuse the drained
+    chunk as left context with no stream-head masking (advisor r3)."""
+    from crlot_tpu.distributed.stream import ShardedStreamer
+
+    cfg = StftConfig(frame_size=128, hop_size=32, center=False)
+    mesh = make_mesh(channel=1, time=4)
+    st = ShardedStreamer(cfg, mesh)
+    c = _sig(1, 4 * 256, seed=40)
+    st.feed(c)
+    st.finish()
+    with pytest.raises(RuntimeError, match="finish"):
+        st.feed(c)
+    # load_state resumes: a restored checkpoint must accept feeds again.
+    st2 = ShardedStreamer(cfg, mesh)
+    st2.feed(c)
+    saved = st2.state()
+    st2.finish()
+    st2.load_state(saved)
+    st2.feed(c)  # no raise
+
+
+def test_blocked_mesh_main_dots_independent_of_halo_permutes():
+    """Comm/compute overlap, structurally (verdict r3 item 1a): in the
+    blocked mesh formulation the main hop-block matmul chain must carry NO
+    data dependence on the halo ppermutes — only the small edge
+    corrections and boundary patches may consume them. That independence
+    is what lets XLA's latency-hiding scheduler issue
+    collective-permute-start before the local dots (the overlap bound the
+    weak-scaling model gates on). Asserted by tainting the ppermute
+    outputs through the shard_map jaxpr and requiring >= 75% of
+    dot_general MACs to be untainted."""
+    cfg, eq, _ = _blocked_setup()
+    mesh = make_mesh(channel=1, time=4)
+    x = _sig(2, 32768, seed=41)
+    jaxpr = jax.make_jaxpr(
+        lambda v: sharded_round_trip(v, cfg, mesh, eq)
+    )(jnp.asarray(x))
+
+    inner = None
+    for eqn in jaxpr.jaxpr.eqns:
+        if eqn.primitive.name == "shard_map":
+            inner = eqn.params["jaxpr"]
+    assert inner is not None, "no shard_map eqn found"
+    n_permute = sum(1 for e in inner.eqns if e.primitive.name == "ppermute")
+    assert n_permute == 2, f"expected 2 halo ppermutes, saw {n_permute}"
+
+    tainted = set()
+    clean_macs = 0.0
+    tainted_macs = 0.0
+    for eqn in inner.eqns:
+        hit = eqn.primitive.name == "ppermute" or any(
+            not isinstance(v, jax.extend.core.Literal) and v in tainted
+            for v in eqn.invars
+        )
+        if hit:
+            tainted.update(eqn.outvars)
+        if eqn.primitive.name == "dot_general":
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            (lc, _), _ = eqn.params["dimension_numbers"]
+            contract = 1
+            for d in lc:
+                contract *= lhs.shape[d]
+            out_elems = 1
+            for d in eqn.outvars[0].aval.shape:
+                out_elems *= d
+            macs = float(out_elems) * contract
+            if hit:
+                tainted_macs += macs
+            else:
+                clean_macs += macs
+    assert clean_macs > 0
+    frac = clean_macs / (clean_macs + tainted_macs)
+    assert frac >= 0.75, (
+        f"only {frac:.2%} of dot MACs are independent of the halo "
+        "permutes — the main chain must not consume the halos"
+    )
