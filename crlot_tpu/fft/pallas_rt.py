@@ -195,11 +195,23 @@ def _build_fold_operands(nfft, hop, r_count, n_rows, bx_s, w_ref, wf_ref,
     obuf[:, h : h + 1] = zero_col
 
 
-def _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil):
+def _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil,
+              spectral_packed=None):
     """Folded forward + inverse: (a, b) with out[:, :K] = a + b and
-    out[:, K:] = flip-cols(a - b)."""
+    out[:, K:] = flip-cols(a - b).
+
+    `spectral_packed` (optional) applies a nonlinear per-bin fn on the
+    packed (Re, Im) planes IN VMEM between the forward and inverse
+    matmuls — the spectrum never reaches HBM (the fused answer to the
+    nonlinear-processing slot, e2e_benchmark.cc:161-163; the XLA path
+    materializes spectrum + fn output as four [F, K] HBM arrays). The
+    planes here are genuine packed layout (re[:, k] = Re X[k] for
+    k = 0..h; im[:, 0] = im[:, h] = 0 structurally), the same contract as
+    spectral.py's `.packed` fns."""
     re = _dot3(ebuf[:], ch, cl)
     im = _dot3(obuf[:], sh, sl)
+    if spectral_packed is not None:
+        re, im = spectral_packed(re, im)
     return _dot3(re, cih, cil), _dot3(im, sih, sil)
 
 
@@ -333,7 +345,7 @@ def _rt_call(
     return out[:n_frames]
 
 
-def _rt_ola_kernel(nfft, hop, r_count, tb, n_frames, eps,
+def _rt_ola_kernel(nfft, hop, r_count, tb, n_frames, eps, spectral_packed,
                    bx_hbm, w_ref, wf_ref, jhop,
                    ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
                    norm_ref, out_ref, bx_s, ybuf, zbuf, ebuf, obuf,
@@ -363,7 +375,8 @@ def _rt_ola_kernel(nfft, hop, r_count, tb, n_frames, eps,
         nfft, hop, r_count, nf, bx_s, w_ref, wf_ref, ybuf, zbuf, ebuf, obuf,
         jhop=jhop, valid=valid,
     )
-    a, b = _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil)
+    a, b = _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil,
+                     spectral_packed)
     h = nfft // 2
     rtf[:, 0 : h + 1] = a + b
     rtf[:, h + 1 : nfft] = _dot3(a - b, jh, jl)
@@ -381,7 +394,7 @@ def _rt_ola_kernel(nfft, hop, r_count, tb, n_frames, eps,
 @partial(
     jax.jit,
     static_argnames=("nfft", "hop", "n_frames", "out_len", "eps", "tile",
-                     "interpret"),
+                     "interpret", "spectral_packed"),
 )
 def _rt_ola_call(
     padded: jnp.ndarray,
@@ -394,6 +407,7 @@ def _rt_ola_call(
     eps: float,
     tile: int = _DEF_TILE,
     interpret: bool = False,
+    spectral_packed=None,
 ) -> jnp.ndarray:
     r_count = nfft // hop
     k = nfft // 2 + 1
@@ -427,7 +441,8 @@ def _rt_ola_call(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        partial(_rt_ola_kernel, nfft, hop, r_count, tb, n_frames, eps),
+        partial(_rt_ola_kernel, nfft, hop, r_count, tb, n_frames, eps,
+                spectral_packed),
         out_shape=jax.ShapeDtypeStruct((grid * tb, hop), jnp.float32),
         grid=(grid,),
         in_specs=[
@@ -477,14 +492,19 @@ def roundtrip_signal_fused(
     out_len: int | None = None,
     interpret: bool = False,
     tile: int = _DEF_TILE,
+    spectral_packed=None,
 ) -> jnp.ndarray:
     """[..., Lp] padded signal -> [..., out_len] NORMALIZED reconstruction:
-    framing + windowed folded rDFT + inverse + unfold + overlap-add +
-    divide-by-norm in a single pass over HBM (HIGH-tier numerics).
+    framing + windowed folded rDFT + [nonlinear per-bin fn] + inverse +
+    unfold + overlap-add + divide-by-norm in a single pass over HBM
+    (HIGH-tier numerics).
 
     `norm` is the edge-aware COLA norm over the full OLA span
     ((n_frames-1)*hop + nfft samples, pipeline._norm_np). Output still
     carries the center padding — callers slice [pad : pad + length].
+    `spectral_packed` (a hashable `(re, im) -> (re, im)` fn of elementwise
+    jnp ops, e.g. `spectral.noise_gate(...).packed`) runs in VMEM — the
+    spectrum never touches HBM, unlike the XLA nonlinear path.
     """
     if not fused_rt_supported(nfft, hop):
         raise ValueError(f"fused round-trip unsupported for N={nfft} H={hop}")
@@ -494,7 +514,7 @@ def roundtrip_signal_fused(
     w32 = jnp.asarray(np.asarray(analysis_window_f64, np.float32))
     fn = lambda p: _rt_ola_call(  # noqa: E731
         p, w32, norm, nfft, hop, n_frames, out_len, eps, tile=tile,
-        interpret=interpret,
+        interpret=interpret, spectral_packed=spectral_packed,
     )
     if padded.ndim == 1:
         return fn(padded)

@@ -58,6 +58,21 @@ def roundtrip_traffic(
     (fft/matmul_backend.py::rfft_folded_packed), the direct basis
     2*N*(N+2) MACs; FFT is 5*N*log2(N) per direction.
 
+    `formulation="spectral"`: the framed NONLINEAR per-bin path (packed
+    Re/Im planes through an arbitrary elementwise spectral fn —
+    pipeline.round_trip's `.packed` route). Same folded-DFT FLOPs as
+    "framed" plus the fn's elementwise work; bytes add one spectrum
+    read+write pass for the fn (XLA cannot fuse an elementwise stage
+    INTO a dot operand, so the fn's output is a materialized [F, K]
+    pair). This model is why nonlinear processing cannot reach the
+    blocked identity/EQ rate: identity/EQ COMPOSE into the kernel at
+    design time (halving MACs and shedding the frame matrix), while a
+    nonlinear fn forces the spectrum through HBM. The OLA-folded
+    hop-block synthesis alternative is strictly worse: folding OLA into
+    the inverse basis breaks the even/odd fold (R*2K = ~4x MACs/sample
+    vs the folded inverse) for only ~25% byte savings — a modeled
+    negative result (docs/DESIGN.md r4).
+
     `formulation="blocked"`: the hop-block Toeplitz round-trip
     (matmul_backend.roundtrip_composed_blocked — the TPU identity/EQ path
     since r3). Per output sample the kernel row spans
@@ -94,6 +109,8 @@ def roundtrip_traffic(
     bytes_spec = 2 * 4 * r * ((frame_size // 2 + 1) * 2 / frame_size)
     bytes_out_frames = 2 * 4 * r
     b = 4 + bytes_frames + bytes_spec + bytes_out_frames + 4 + 4
+    if formulation == "spectral":
+        b += bytes_spec  # the fn's output planes: one more write + read
     if matmul_fft and folded and frame_size % 2 == 0:
         # 2 FLOP per MAC x half-size [Re | Im] bases, two directions.
         flops_per_frame = 2 * frame_size * (frame_size // 2 + 1) * 2

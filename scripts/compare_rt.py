@@ -227,6 +227,43 @@ def main() -> None:
         out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
         return out[..., pad : pad + total]
 
+    # --- NONLINEAR per-bin fn (verdict r3 item 3): the slot that cannot
+    # compose into the blocked kernel. tiled_mask = the pipeline's current
+    # packed-plane XLA route; fullfused_mask = the Pallas kernel applying
+    # the fn IN VMEM (spectrum never reaches HBM).
+    from crlot_tpu.spectral import noise_gate
+
+    _gate = noise_gate(-40.0, attenuation_db=-30.0)
+
+    def tiled_mask(s):
+        from crlot_tpu.fft.matmul_backend import (
+            irfft_folded_tiled_parts,
+            packed_to_tiled_parts,
+            rfft_folded_tiled_parts,
+            tiled_parts_to_packed,
+        )
+
+        frames = frame_signal(s, spec)
+        w32 = jnp.asarray(np.asarray(w64, np.float32))
+        re512, re_nyq, im_eff = rfft_folded_tiled_parts(frames, n, w32, prec)
+        re, im = _gate.packed(*tiled_parts_to_packed(re512, re_nyq, im_eff))
+        out_frames = irfft_folded_tiled_parts(
+            *packed_to_tiled_parts(re, im, n), n, prec
+        )
+        out = ola_normalized_auto(out_frames, norm, hop, full, cfg.eps)
+        return out[..., pad : pad + total]
+
+    def fullfused_mask_tile(tb):
+        def fn(s):
+            padded = pad_signal(s, pad, pad, spec.pad_mode, spec.pad_value)
+            out = roundtrip_signal_fused(
+                padded, n, hop, num_frames, w64, norm, cfg.eps, tile=tb,
+                spectral_packed=_gate.packed,
+            )
+            return out[..., pad : pad + total]
+
+        return fn
+
     variants = {
         "xla_folded": xla_rt(roundtrip_folded_matmul),
         "xla_tiled": xla_rt(roundtrip_folded_tiled),
@@ -249,6 +286,10 @@ def main() -> None:
         "fullfused_t120": fullfused_tile(120),
         "fullfused_t240": fullfused_tile(240),
         "fullfused_t504": fullfused_tile(504),
+        "tiled_mask": tiled_mask,
+        "fullfused_mask": fullfused_mask_tile(128),
+        "fullfused_mask_t240": fullfused_mask_tile(240),
+        "fullfused_mask_t504": fullfused_mask_tile(504),
     }
     if "--only" in sys.argv:
         keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))

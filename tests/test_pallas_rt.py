@@ -147,3 +147,59 @@ def test_fullfused_rt_ola_batched():
     assert y.shape == x.shape
     for c in range(2):
         assert snr_db(x[c], y[c]) > 90.0
+
+
+def test_fullfused_spectral_matches_xla_packed_path():
+    """The in-VMEM nonlinear per-bin fn (spectral_packed) must match the
+    XLA packed-plane nonlinear route (pipeline's .packed path semantics)
+    within the HIGH tier — the fused answer to the reference's arbitrary
+    spectral-processing slot (e2e_benchmark.cc:161-163)."""
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.padding import pad_signal
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.fft.matmul_backend import (
+        irfft_folded_parts,
+        rfft_folded_packed,
+    )
+    from crlot_tpu.fft.pallas_rt import roundtrip_signal_fused
+    from crlot_tpu.ola.reference import normalize, overlap_add
+    from crlot_tpu.pipeline import _norm_np, _window_f64
+    from crlot_tpu.spectral import noise_gate
+
+    nfft, hop = 512, 128
+    cfg = StftConfig(frame_size=nfft, hop_size=hop, center=True)
+    total = 12000
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-0.9, 0.9, total).astype(np.float32)
+    spec = cfg.frame_spec
+    f = spec.num_frames(total)
+    padded = pad_signal(
+        jnp.asarray(x), spec.pad_amount, spec.pad_amount, spec.pad_mode,
+        spec.pad_value,
+    )
+    w64 = _window_f64(cfg)
+    full = (f - 1) * hop + nfft
+    norm = jnp.asarray(_norm_np(cfg, f, full))
+    gate = noise_gate(-40.0, attenuation_db=-30.0)
+
+    out = roundtrip_signal_fused(
+        padded, nfft, hop, f, w64, norm, cfg.eps, interpret=True,
+        spectral_packed=gate.packed,
+    )
+    pad = spec.pad_amount
+    y = np.asarray(out[pad : pad + total])
+
+    # Reference route: framed folded packed planes -> gate.packed -> inverse
+    # -> OLA + norm (the same math the pipeline's nonlinear path runs).
+    frames = jnp.stack(
+        [padded[i * hop : i * hop + nfft] for i in range(f)]
+    )
+    re, im = rfft_folded_packed(
+        frames, nfft, jnp.asarray(np.asarray(w64, np.float32))
+    )
+    re, im = gate.packed(re, im)
+    out_frames = irfft_folded_parts(re, im, nfft)
+    acc = overlap_add(out_frames, hop, full)
+    ref = np.asarray(normalize(acc, norm, cfg.eps))[pad : pad + total]
+    assert np.max(np.abs(y - ref)) < 5e-4
