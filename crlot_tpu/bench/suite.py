@@ -108,10 +108,17 @@ def _rt_time_capped(fn, x, frame_size: int, hop: int, retries: int = 2):
     'unmeasurable', which the regression guard skips."""
     from ..profiling import roofline_samples_per_sec
 
-    roof = roofline_samples_per_sec(frame_size, hop)
+    # Cap vs the fastest formulation the pipeline could have picked: the
+    # identity round-trip lowers to the BLOCKED kernel since r3 (~2x the
+    # framed ceiling), so capping on the framed model would reject honest
+    # full-rate measurements as artifacts.
     cap = 1.35 * max(
-        roof["bandwidth_bound_samples_per_sec"],
-        roof["compute_bound_samples_per_sec"],
+        roofline_samples_per_sec(frame_size, hop, formulation=form)[bound]
+        for form in ("framed", "blocked")
+        for bound in (
+            "bandwidth_bound_samples_per_sec",
+            "compute_bound_samples_per_sec",
+        )
     )
     n = np.asarray(x).shape[-1] * (
         np.asarray(x).size // np.asarray(x).shape[-1]
@@ -168,6 +175,20 @@ def bench_spectral(results: Dict[str, float]) -> None:
     sec = _time(lambda s: round_trip(s, cfg, spectral_fn=eq), x) / seconds
     results["eq_composed_1s48k_ms"] = round(sec * 1e3, 3)
     results["eq_composed_msamples_per_s"] = round(sr / sec / 1e6, 1)
+
+    # NONLINEAR per-bin fn (noise gate): the reference's arbitrary
+    # spectral-processing slot (e2e_benchmark.cc:161-163) that cannot
+    # compose into the blocked kernel — the pipeline routes it to the
+    # best measured formulation (fused in-VMEM kernel on TPU when
+    # supported, else packed XLA planes).
+    from ..spectral import noise_gate
+
+    gate = noise_gate(-40.0, attenuation_db=-30.0)
+    yg = jax.jit(lambda s: round_trip(s, cfg, spectral_fn=gate))(x)
+    assert np.isfinite(np.asarray(yg)).all()
+    sec = _time(lambda s: round_trip(s, cfg, spectral_fn=gate), x) / seconds
+    results["mask_gate_1s48k_ms"] = round(sec * 1e3, 3)
+    results["mask_gate_msamples_per_s"] = round(sr / sec / 1e6, 1)
 
     # Multi-chip EQ: the sharded blocked (hop-block Toeplitz) formulation
     # with left+right halos (verdict r3 item 6) across all local devices

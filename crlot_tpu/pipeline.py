@@ -321,6 +321,43 @@ def round_trip(
         and hasattr(spectral_fn, "packed")
         and matmul_ok
         and on_tpu
+        and not cfg.synthesis_window
+        and cfg.fft_precision == FftPrecision.HIGH
+        and os.environ.get("CRLOT_FUSED_SPECTRAL", "0") == "1"
+    ):
+        # NONLINEAR per-bin fns, OPT-IN (CRLOT_FUSED_SPECTRAL=1): the
+        # fused Pallas kernel applies the fn on the packed Re/Im planes IN
+        # VMEM between the forward and inverse folded matmuls — the
+        # spectrum never reaches HBM, vs four [F, K] HBM arrays on the XLA
+        # packed route. Interleaved rankings CONTRADICTED each other
+        # across two windows (0.288 vs 1.43 ms; the 9.99 G reading exceeds
+        # the kernel's own 6.2 G bf16 FLOP ceiling => artifact), so the
+        # XLA route stays default until a clean full-rate-window ranking
+        # lands (docs/DESIGN.md 'r4: the nonlinear spectral slot').
+        from .core.padding import pad_signal
+        from .fft.pallas_rt import fused_rt_supported, roundtrip_signal_fused
+
+        spec_ = cfg.frame_spec
+        num_frames = spec_.num_frames(signal.shape[-1])
+        if fused_rt_supported(cfg.frame_size, cfg.hop_size) and num_frames > 0:
+            padded = pad_signal(
+                signal, spec_.pad_amount, spec_.pad_amount, spec_.pad_mode,
+                spec_.pad_value,
+            )
+            w64 = _window_f64(cfg)
+            full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
+            norm = jnp.asarray(_norm_np(cfg, num_frames, full))
+            out = roundtrip_signal_fused(
+                padded, cfg.frame_size, cfg.hop_size, num_frames, w64,
+                norm, cfg.eps, spectral_packed=spectral_fn.packed,
+            )
+            pad = spec_.pad_amount
+            return out[..., pad : pad + signal.shape[-1]]
+    if (
+        spectral_fn is not None
+        and hasattr(spectral_fn, "packed")
+        and matmul_ok
+        and on_tpu
         and tiled_supported(cfg.frame_size)
     ):
         # NONLINEAR per-bin fns (gate, spectral subtraction) that operate
