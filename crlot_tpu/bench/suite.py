@@ -547,6 +547,25 @@ def bench_streaming(results: Dict[str, float]) -> None:
         float(delta * 32768.0), 2
     )
 
+    # --- raw link rate: time one bare host->device and device->host
+    # transfer of a chunk-sized f32 buffer so the artifact QUANTIFIES the
+    # transfer wall the sustained-wire numbers sit behind (the reference's
+    # 53 M samples/s e2e is host-resident and pays no such link).
+    probe = np.ascontiguousarray(x[:chunk_samples])
+    t0 = time.time()
+    dev = jax.device_put(probe)
+    dev.block_until_ready()
+    up_s = time.time() - t0
+    t0 = time.time()
+    np.asarray(dev)
+    down_s = time.time() - t0
+    results["link_host_to_device_mb_per_s"] = round(
+        probe.nbytes / up_s / 1e6, 1
+    )
+    results["link_device_to_host_mb_per_s"] = round(
+        probe.nbytes / down_s / 1e6, 1
+    )
+
     # --- device-resident sustained rate: inputs pre-staged in HBM, the
     # same chunked scan programs back-to-back with the carried tail. This
     # is the sustained e2e rate when ingress is not a ~22 MB/s dev-tunnel

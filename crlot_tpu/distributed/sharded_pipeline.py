@@ -565,6 +565,69 @@ def collective_bytes_per_step(
     }
 
 
+def overlap_dot_fraction(
+    cfg: StftConfig,
+    mesh: Mesh,
+    channels: int,
+    total_len: int,
+    spectral_fn: Optional[Callable] = None,
+) -> dict:
+    """Fraction of dot_general MACs in the shard_map body that carry NO
+    data dependence on the halo ppermutes — the structural evidence behind
+    the weak-scaling model's overlap bound (a dot independent of the
+    permutes can be scheduled across collective-permute-start/done by
+    XLA's latency-hiding scheduler). Computed by tainting the ppermute
+    outputs through the traced jaxpr; conservative (any tainted operand
+    taints every output, sub-jaxprs included)."""
+    import jax.extend.core as jex_core
+
+    jaxpr = jax.make_jaxpr(
+        lambda v: sharded_round_trip(v, cfg, mesh, spectral_fn)
+    )(jnp.zeros((channels, total_len), jnp.float32))
+    inner = None
+    for eqn in jaxpr.jaxpr.eqns:
+        if eqn.primitive.name == "shard_map":
+            inner = eqn.params["jaxpr"]
+    if inner is None:
+        raise ValueError("no shard_map eqn in the traced round-trip")
+    tainted: set = set()
+    clean_macs = 0.0
+    tainted_macs = 0.0
+    n_permute = 0
+    for eqn in inner.eqns:
+        hit = eqn.primitive.name == "ppermute" or any(
+            not isinstance(v, jex_core.Literal) and v in tainted
+            for v in eqn.invars
+        )
+        if eqn.primitive.name == "ppermute":
+            n_permute += 1
+        if hit:
+            tainted.update(eqn.outvars)
+        if eqn.primitive.name == "dot_general":
+            lhs = eqn.invars[0].aval
+            (lc, _), _ = eqn.params["dimension_numbers"]
+            contract = 1
+            for d in lc:
+                contract *= lhs.shape[d]
+            out_elems = 1
+            for d in eqn.outvars[0].aval.shape:
+                out_elems *= d
+            macs = float(out_elems) * contract
+            if hit:
+                tainted_macs += macs
+            else:
+                clean_macs += macs
+    total = clean_macs + tainted_macs
+    return {
+        "ppermute_ops": n_permute,
+        "dot_macs_independent_of_halo": clean_macs,
+        "dot_macs_consuming_halo": tainted_macs,
+        "independent_fraction": (
+            round(clean_macs / total, 4) if total else 0.0
+        ),
+    }
+
+
 def weak_scaling_model(
     cfg: StftConfig,
     channels_local: int,
@@ -792,12 +855,23 @@ def dryrun(n_devices: int) -> None:
         cfg, channels // n_ch, 48000, device_kind=target
     )
     # GATE (BASELINE.md ">= 80% weak-scaling", r3 verdict item 1c): the
-    # overlap bound — backed by the jaxpr independence assert on this very
-    # formulation — must clear 80% on ICI at the production 1 s block.
+    # overlap bound — backed by the jaxpr independence evidence computed
+    # on this very mesh/config below — must clear 80% on ICI at the
+    # production 1 s block.
     eff_ici_1s = model_1s["ici"]["efficiency_overlap"]
     assert eff_ici_1s >= 0.8, (
         f"ICI weak-scaling efficiency {eff_ici_1s} < 0.8 at a 1 s block"
     )
+    # Structural overlap evidence for the artifact: the blocked
+    # formulation's main dots must not consume the halo permutes.
+    # Evaluated at the ~1 s-per-device production block (trace-time
+    # analysis — no compute): at the dryrun's tiny 2N blocks the
+    # fixed-size boundary patches dominate the MAC count, which is a
+    # block-size artifact, not a scheduling property.
+    t_1s = 49152  # hop- and group-aligned ~1 s @ 48 kHz per device
+    ov = overlap_dot_fraction(cfg_b, mesh, channels, t_1s * n_time)
+    ov["block_samples_per_device"] = t_1s
+    assert ov["independent_fraction"] >= 0.75, ov
     print(json.dumps({
         "dryrun": "north-star",
         "config": {"frame_size": cfg.frame_size, "hop_size": cfg.hop_size,
@@ -822,4 +896,5 @@ def dryrun(n_devices: int) -> None:
         "weak_scaling_gate_ici_1s_overlap": {
             "efficiency": eff_ici_1s, "threshold": 0.8, "pass": True,
         },
+        "overlap_structure_blocked_formulation": ov,
     }))

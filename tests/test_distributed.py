@@ -519,48 +519,16 @@ def test_blocked_mesh_main_dots_independent_of_halo_permutes():
     weak-scaling model gates on). Asserted by tainting the ppermute
     outputs through the shard_map jaxpr and requiring >= 75% of
     dot_general MACs to be untainted."""
+    from crlot_tpu.distributed.sharded_pipeline import overlap_dot_fraction
+
     cfg, eq, _ = _blocked_setup()
     mesh = make_mesh(channel=1, time=4)
-    x = _sig(2, 32768, seed=41)
-    jaxpr = jax.make_jaxpr(
-        lambda v: sharded_round_trip(v, cfg, mesh, eq)
-    )(jnp.asarray(x))
-
-    inner = None
-    for eqn in jaxpr.jaxpr.eqns:
-        if eqn.primitive.name == "shard_map":
-            inner = eqn.params["jaxpr"]
-    assert inner is not None, "no shard_map eqn found"
-    n_permute = sum(1 for e in inner.eqns if e.primitive.name == "ppermute")
-    assert n_permute == 2, f"expected 2 halo ppermutes, saw {n_permute}"
-
-    tainted = set()
-    clean_macs = 0.0
-    tainted_macs = 0.0
-    for eqn in inner.eqns:
-        hit = eqn.primitive.name == "ppermute" or any(
-            not isinstance(v, jax.extend.core.Literal) and v in tainted
-            for v in eqn.invars
-        )
-        if hit:
-            tainted.update(eqn.outvars)
-        if eqn.primitive.name == "dot_general":
-            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
-            (lc, _), _ = eqn.params["dimension_numbers"]
-            contract = 1
-            for d in lc:
-                contract *= lhs.shape[d]
-            out_elems = 1
-            for d in eqn.outvars[0].aval.shape:
-                out_elems *= d
-            macs = float(out_elems) * contract
-            if hit:
-                tainted_macs += macs
-            else:
-                clean_macs += macs
-    assert clean_macs > 0
-    frac = clean_macs / (clean_macs + tainted_macs)
-    assert frac >= 0.75, (
-        f"only {frac:.2%} of dot MACs are independent of the halo "
-        "permutes — the main chain must not consume the halos"
+    ov = overlap_dot_fraction(cfg, mesh, channels=2, total_len=32768,
+                              spectral_fn=eq)
+    assert ov["ppermute_ops"] == 2, ov
+    assert ov["dot_macs_independent_of_halo"] > 0
+    assert ov["independent_fraction"] >= 0.75, (
+        f"only {ov['independent_fraction']:.2%} of dot MACs are "
+        "independent of the halo permutes — the main chain must not "
+        "consume the halos"
     )
