@@ -172,7 +172,12 @@ def bench_spectral(results: Dict[str, float]) -> None:
     x = rng.uniform(-0.9, 0.9, seconds * sr).astype(np.float32)
     y = jax.jit(lambda s: round_trip(s, cfg, spectral_fn=eq))(x)
     assert np.isfinite(np.asarray(y)).all()
-    sec = _time(lambda s: round_trip(s, cfg, spectral_fn=eq), x) / seconds
+    # EQ lowers to the blocked kernel — same physical ceiling as the
+    # identity headline; cap like the e2e rows (a 54 G reading slipped
+    # through uncapped in an r4 run — pure chain-minima artifact).
+    sec = _rt_time_capped(
+        lambda s: round_trip(s, cfg, spectral_fn=eq), x, 1024, 256
+    ) / seconds
     results["eq_composed_1s48k_ms"] = round(sec * 1e3, 3)
     results["eq_composed_msamples_per_s"] = round(sr / sec / 1e6, 1)
 
@@ -186,7 +191,9 @@ def bench_spectral(results: Dict[str, float]) -> None:
     gate = noise_gate(-40.0, attenuation_db=-30.0)
     yg = jax.jit(lambda s: round_trip(s, cfg, spectral_fn=gate))(x)
     assert np.isfinite(np.asarray(yg)).all()
-    sec = _time(lambda s: round_trip(s, cfg, spectral_fn=gate), x) / seconds
+    sec = _rt_time_capped(
+        lambda s: round_trip(s, cfg, spectral_fn=gate), x, 1024, 256
+    ) / seconds
     results["mask_gate_1s48k_ms"] = round(sec * 1e3, 3)
     results["mask_gate_msamples_per_s"] = round(sr / sec / 1e6, 1)
 
@@ -210,7 +217,9 @@ def bench_spectral(results: Dict[str, float]) -> None:
     run = sharded_round_trip_jit(scfg, mesh, spectral_fn=eq)
     ys = run(jnp.asarray(xs))
     assert np.isfinite(np.asarray(ys)).all()
-    sec = _time(lambda s: run(s), jnp.asarray(xs)) / (total / sr)
+    sec = _rt_time_capped(
+        lambda s: run(s), jnp.asarray(xs), 1024, 256
+    ) / (total / sr)
     results["eq_sharded_blocked_1s48k_ms"] = round(sec * 1e3, 3)
     results["eq_sharded_blocked_msamples_per_s"] = round(sr / sec / 1e6, 1)
 
@@ -226,14 +235,16 @@ def bench_multichannel(results: Dict[str, float]) -> None:
     cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
     rng = np.random.default_rng(4)
     x = rng.uniform(-0.9, 0.9, (64, 48000)).astype(np.float32)
-    sec = _time(lambda s: round_trip(s, cfg), x)
+    sec = _rt_time_capped(lambda s: round_trip(s, cfg), x, 1024, 256)
     total = 64 * 48000
     results["mc64_1s48k_ms"] = round(sec * 1e3, 3)
     results["mc64_msamples_per_s"] = round(total / sec / 1e6, 1)
     taps = np.hamming(127)
     taps = taps / taps.sum()
     fir = per_bin_filter(fir_frequency_response(taps, 1024))
-    sec = _time(lambda s: round_trip(s, cfg, spectral_fn=fir), x)
+    sec = _rt_time_capped(
+        lambda s: round_trip(s, cfg, spectral_fn=fir), x, 1024, 256
+    )
     results["mc64_fir_1s48k_ms"] = round(sec * 1e3, 3)
     results["mc64_fir_msamples_per_s"] = round(total / sec / 1e6, 1)
 
