@@ -319,6 +319,29 @@ def main() -> None:
                 t0 = time.perf_counter()
                 float(c(jnp.float32(0), x))
                 t[name][idx].append(time.perf_counter() - t0)
+
+    # Pairwise per-round wins: within one round every variant samples
+    # near-adjacent seconds of the same window, so the sign of the
+    # per-round (t_big - t_small) comparison is far more regime-robust
+    # than cross-run minima (which flip when service fluctuates mid-run).
+    names = list(chains)
+    per_round = {
+        name: [
+            tb - ts for ts, tb in zip(t[name][0], t[name][1])
+        ] for name in names
+    }
+    wins = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            w = l = 0
+            for da, db in zip(per_round[a], per_round[b]):
+                if da > 0 and db > 0:
+                    if da < db:
+                        w += 1
+                    elif db < da:
+                        l += 1
+            wins[f"{a} vs {b}"] = f"{w}-{l}"
+    print(json.dumps({"pairwise_round_wins": wins}), flush=True)
     for name, (ts, tb) in t.items():
         diff = min(tb) - min(ts)
         # Never clamp a non-positive difference (minima in different tunnel
