@@ -323,17 +323,16 @@ def round_trip(
         and on_tpu
         and not cfg.synthesis_window
         and cfg.fft_precision == FftPrecision.HIGH
-        and os.environ.get("CRLOT_FUSED_SPECTRAL", "0") == "1"
+        and os.environ.get("CRLOT_FUSED_SPECTRAL", "1") != "0"
     ):
-        # NONLINEAR per-bin fns, OPT-IN (CRLOT_FUSED_SPECTRAL=1): the
-        # fused Pallas kernel applies the fn on the packed Re/Im planes IN
-        # VMEM between the forward and inverse folded matmuls — the
-        # spectrum never reaches HBM, vs four [F, K] HBM arrays on the XLA
-        # packed route. Interleaved rankings CONTRADICTED each other
-        # across two windows (0.288 vs 1.43 ms; the 9.99 G reading exceeds
-        # the kernel's own 6.2 G bf16 FLOP ceiling => artifact), so the
-        # XLA route stays default until a clean full-rate-window ranking
-        # lands (docs/DESIGN.md 'r4: the nonlinear spectral slot').
+        # NONLINEAR per-bin fns: the fused Pallas kernel applies the fn on
+        # the packed Re/Im planes IN VMEM between the forward and inverse
+        # folded matmuls — the spectrum never reaches HBM, vs four [F, K]
+        # HBM arrays on the XLA packed route. Promoted on 3/3
+        # valid-sentinel interleaved runs (0.821 vs 1.192 ms in a
+        # FULL-RATE window — sentinel blocked2_id at 14.8 G — plus 1.9x
+        # and 4.6x in two earlier windows; docs/DESIGN.md 'r4: the
+        # nonlinear spectral slot'). Escape hatch: CRLOT_FUSED_SPECTRAL=0.
         from .core.padding import pad_signal
         from .fft.pallas_rt import fused_rt_supported, roundtrip_signal_fused
 
