@@ -197,6 +197,7 @@ def _block_round_trip(
         rfft_folded_tiled_parts,
         tiled_supported,
     )
+    from ..fft.pallas_rt import fused_rt_supported
     from ..spectral import resolve_per_bin_response
 
     prec = _fft.to_lax_precision(cfg.fft_precision)
@@ -264,6 +265,25 @@ def _block_round_trip(
 
         out_frames = roundtrip_composed_matmul(
             frames, n, window_f64, per_bin, precision=prec
+        )
+    elif (
+        spectral_fn is not None
+        and hasattr(spectral_fn, "packed")
+        and on_matmul
+        and jax.default_backend() == "tpu"
+        and cfg.fft_precision.name == "HIGH"
+        and os.environ.get("CRLOT_FUSED_SPECTRAL", "1") != "0"
+        and fused_rt_supported(n, hop)
+    ):
+        # NONLINEAR per-bin fn on the mesh: the frames-level fused kernel
+        # (fn applied in VMEM, spectrum never in HBM — the single-chip
+        # default since r4) producing per-frame outputs that drop into
+        # the unchanged masking + tail-seeding OLA protocol below.
+        from ..fft.pallas_rt import roundtrip_frames_fused
+
+        out_frames = roundtrip_frames_fused(
+            x_ext, n, hop, frames_per_block, window_f64,
+            spectral_packed=spectral_fn.packed,
         )
     elif on_matmul and tiled_supported(n) and (
         spectral_fn is None or hasattr(spectral_fn, "packed")

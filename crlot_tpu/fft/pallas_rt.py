@@ -215,7 +215,7 @@ def _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil,
     return _dot3(re, cih, cil), _dot3(im, sih, sil)
 
 
-def _rt_kernel(nfft, hop, r_count, tm, flip_mm, *args):
+def _rt_kernel(nfft, hop, r_count, tm, flip_mm, spectral_packed, *args):
     if flip_mm:
         (bx_hbm, w_ref, wf_ref, jhop,
          ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
@@ -245,7 +245,8 @@ def _rt_kernel(nfft, hop, r_count, tm, flip_mm, *args):
         nfft, hop, r_count, tm, bx_s, w_ref, wf_ref, ybuf, zbuf, ebuf, obuf,
         jhop=jhop, flip_src=fbx_s,
     )
-    a, b = _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil)
+    a, b = _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil,
+                     spectral_packed)
     h = nfft // 2
     out_ref[:, 0 : h + 1] = a + b
     out_ref[:, h + 1 : nfft] = _dot3(a - b, jh, jl)
@@ -263,7 +264,8 @@ def _exchange_bf16(hop: int) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("nfft", "hop", "n_frames", "tile", "interpret", "flip_mm"),
+    static_argnames=("nfft", "hop", "n_frames", "tile", "interpret",
+                     "flip_mm", "spectral_packed"),
 )
 def _rt_call(
     padded: jnp.ndarray,
@@ -274,6 +276,7 @@ def _rt_call(
     tile: int = _DEF_TILE,
     interpret: bool = False,
     flip_mm: bool = True,
+    spectral_packed=None,
 ) -> jnp.ndarray:
     r_count = nfft // hop
     k = nfft // 2 + 1
@@ -326,7 +329,8 @@ def _rt_call(
         const_spec((k, nfft - k)),
     ]
     out = pl.pallas_call(
-        partial(_rt_kernel, nfft, hop, r_count, tm, flip_mm),
+        partial(_rt_kernel, nfft, hop, r_count, tm, flip_mm,
+                spectral_packed),
         out_shape=jax.ShapeDtypeStruct((grid * tm, nfft), jnp.float32),
         grid=(grid,),
         in_specs=in_specs,
@@ -532,20 +536,26 @@ def roundtrip_frames_fused(
     analysis_window_f64: np.ndarray,
     interpret: bool = False,
     flip_mm: bool = True,
+    spectral_packed=None,
 ) -> jnp.ndarray:
     """[..., Lp] padded signal -> [..., n_frames, nfft] round-trip output
-    frames (windowing + forward + inverse DFT fused; HIGH-tier numerics).
+    frames (windowing + forward + [nonlinear per-bin fn] + inverse DFT
+    fused; HIGH-tier numerics).
 
     `padded` must already carry the center padding (pipeline applies
     core.padding.pad_signal first); frame f covers padded[f*hop : f*hop+nfft].
     `flip_mm=True` derives the reversed-frame operand in-kernel from the
     exchange matmul (one HBM input); False DMAs a precomputed flipped copy.
+    `spectral_packed` applies a nonlinear fn on the packed Re/Im planes in
+    VMEM — the FRAMES-level variant used by the sharded mesh path, whose
+    masking + tail-seeding OLA protocol needs per-frame outputs.
     """
     if not fused_rt_supported(nfft, hop):
         raise ValueError(f"fused round-trip unsupported for N={nfft} H={hop}")
     w32 = jnp.asarray(np.asarray(analysis_window_f64, np.float32))
     fn = lambda p: _rt_call(  # noqa: E731
-        p, w32, nfft, hop, n_frames, interpret=interpret, flip_mm=flip_mm
+        p, w32, nfft, hop, n_frames, interpret=interpret, flip_mm=flip_mm,
+        spectral_packed=spectral_packed,
     )
     if padded.ndim == 1:
         return fn(padded)

@@ -203,3 +203,38 @@ def test_fullfused_spectral_matches_xla_packed_path():
     acc = overlap_add(out_frames, hop, full)
     ref = np.asarray(normalize(acc, norm, cfg.eps))[pad : pad + total]
     assert np.max(np.abs(y - ref)) < 5e-4
+
+
+def test_frames_fused_spectral_matches_xla_packed():
+    """The FRAMES-level fused kernel with spectral_packed (the sharded
+    mesh's nonlinear route) must match the XLA packed-plane frames route
+    within the HIGH tier."""
+    import jax.numpy as jnp
+
+    from crlot_tpu.fft.matmul_backend import (
+        irfft_folded_parts,
+        rfft_folded_packed,
+    )
+    from crlot_tpu.fft.pallas_rt import roundtrip_frames_fused
+    from crlot_tpu.spectral import noise_gate
+    from crlot_tpu.window.windows import get_window
+
+    nfft, hop, f = 512, 128, 17
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, (f - 1) * hop + nfft).astype(np.float32)
+    w64 = get_window(WindowType.HANN, nfft, True, dtype=np.float64)
+    gate = noise_gate(-40.0, attenuation_db=-30.0)
+
+    got = np.asarray(
+        roundtrip_frames_fused(
+            jnp.asarray(x), nfft, hop, f, w64, interpret=True,
+            spectral_packed=gate.packed,
+        )
+    )
+    frames = jnp.stack([x[i * hop : i * hop + nfft] for i in range(f)])
+    re, im = rfft_folded_packed(
+        frames, nfft, jnp.asarray(np.asarray(w64, np.float32))
+    )
+    re, im = gate.packed(re, im)
+    want = np.asarray(irfft_folded_parts(re, im, nfft))
+    assert np.max(np.abs(got - want)) < 5e-4
