@@ -512,8 +512,17 @@ def main() -> None:
                         st["best_ts"] = time.time()
                 save_state(st)
                 if classify(sps) == "full-rate":
-                    emit("full-rate window measured")
-                    return
+                    # Early-exit only when this burst is at least the best
+                    # on record: exiting on the FIRST >= 90% burst capped
+                    # repeated hunts at whatever the current window's
+                    # first sample happened to read, preventing the
+                    # record from climbing toward the window's true peak.
+                    prior_v = (st["best"] or {"value": 0.0})["value"]
+                    if sps >= prior_v:
+                        emit("full-rate window measured")
+                        return
+                    log("full-rate but below record "
+                        f"({prior_v / 1e9:.2f} G); continuing to sample")
         # Stop while there is still time to run one more burst AND emit;
         # never start a burst that would collide with an external timeout.
         if _elapsed() + gap_s + 1.25 * burst_cost_s + 30.0 > budget_s:
