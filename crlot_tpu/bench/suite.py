@@ -488,6 +488,9 @@ def bench_streaming(results: Dict[str, float]) -> None:
     wall = time.time() - t0
     total = n_chunks * chunk_samples
     results["stream_minutes_audio"] = round(total / sr / 60, 1)
+    # NOTE: this legacy f32 loop measures INGEST + compute sustained rate
+    # (outputs stay device-resident; only the final chunk syncs) — the
+    # full-egress end-to-end figure is stream_sustained_i16_* below.
     results["stream_sustained_gsamples_per_s"] = round(total / wall / 1e9, 4)
     results["stream_wall_s"] = round(wall, 2)
 
