@@ -99,7 +99,8 @@ def bench_ola(results: Dict[str, float]) -> None:
             results[f"ola_n{n}_h{hop}_f{f}_us"] = round(us, 2)
 
 
-def _rt_time_capped(fn, x, frame_size: int, hop: int, retries: int = 2):
+def _rt_time_capped(fn, x, frame_size: int, hop: int, retries: int = 2,
+                    k_small: int = 2, k_big: int = 12):
     """_time with a physical-plausibility cap for round-trip workloads:
     chain-minima differencing can fabricate faster-than-hardware readings
     when the two chain lengths' minima land in different tunnel windows
@@ -124,7 +125,7 @@ def _rt_time_capped(fn, x, frame_size: int, hop: int, retries: int = 2):
         np.asarray(x).size // np.asarray(x).shape[-1]
     )
     for _ in range(1 + retries):
-        sec = _time(fn, x)
+        sec = _time(fn, x, k_small=k_small, k_big=k_big)
         if not (sec > 0) or n / sec <= cap:
             return sec
     return float("nan")
@@ -175,8 +176,10 @@ def bench_spectral(results: Dict[str, float]) -> None:
     # EQ lowers to the blocked kernel — same physical ceiling as the
     # identity headline; cap like the e2e rows (a 54 G reading slipped
     # through uncapped in an r4 run — pure chain-minima artifact).
+    # Sub-ms bodies need longer chains to cancel tunnel jitter (CLAUDE.md)
     sec = _rt_time_capped(
-        lambda s: round_trip(s, cfg, spectral_fn=eq), x, 1024, 256
+        lambda s: round_trip(s, cfg, spectral_fn=eq), x, 1024, 256,
+        k_small=10, k_big=60,
     ) / seconds
     results["eq_composed_1s48k_ms"] = round(sec * 1e3, 3)
     results["eq_composed_msamples_per_s"] = round(sr / sec / 1e6, 1)
@@ -192,7 +195,8 @@ def bench_spectral(results: Dict[str, float]) -> None:
     yg = jax.jit(lambda s: round_trip(s, cfg, spectral_fn=gate))(x)
     assert np.isfinite(np.asarray(yg)).all()
     sec = _rt_time_capped(
-        lambda s: round_trip(s, cfg, spectral_fn=gate), x, 1024, 256
+        lambda s: round_trip(s, cfg, spectral_fn=gate), x, 1024, 256,
+        k_small=10, k_big=60,
     ) / seconds
     results["mask_gate_1s48k_ms"] = round(sec * 1e3, 3)
     results["mask_gate_msamples_per_s"] = round(sr / sec / 1e6, 1)
