@@ -550,27 +550,20 @@ DCN_BYTES_PER_S = 25e9
 DCN_LATENCY_S = 10e-6
 
 
-def collective_bytes_per_step(
-    cfg: StftConfig, mesh: Mesh, channels: int, total_len: int
-) -> dict:
-    """Per-device collective traffic of one sharded round-trip step,
-    extracted from the compiled HLO (SPMD: every device runs the same
-    program, so op shapes ARE per-device volumes). Returns op count and
-    byte totals for the collective-permute halo exchanges."""
+def permute_bytes_from_hlo(txt: str) -> list:
+    """Byte sizes of every collective-permute OP DEFINITION in an HLO
+    text dump. Counts sync `collective-permute(` and async
+    `collective-permute-start(` lines only: anchoring on the opcode
+    immediately followed by its operand list keeps `-done` lines from
+    matching through their `%collective-permute-start.N` operand NAME,
+    which would double-count every async pair (advisor r3 finding;
+    tested against both lowerings in tests/test_distributed.py)."""
     import re
 
-    run = sharded_round_trip_jit(cfg, mesh)
-    x = jnp.zeros((channels, total_len), jnp.float32)
-    txt = jax.jit(run).lower(x).compile().as_text()
     dsize = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4}
     per_op = []
-    # Count only the op definitions (sync `collective-permute(` or async
-    # `collective-permute-start(`): anchoring on the opcode immediately
-    # followed by its operand list keeps `-done` lines from matching
-    # through their `%collective-permute-start.N` operand NAME, which
-    # would double-count every async pair (advisor r3 finding).
     for m in re.finditer(
-        r"(f64|f32|bf16|f16|s32|u32)\[([\d,]*)\][^\n]*"
+        r"(f64|f32|bf16|f16|s32|u32)\[([\d,]*)\][^\n]*?"
         r"collective-permute(?:-start)?\(", txt
     ):
         n = 1
@@ -578,6 +571,20 @@ def collective_bytes_per_step(
             if d:
                 n *= int(d)
         per_op.append(dsize[m.group(1)] * n)
+    return per_op
+
+
+def collective_bytes_per_step(
+    cfg: StftConfig, mesh: Mesh, channels: int, total_len: int
+) -> dict:
+    """Per-device collective traffic of one sharded round-trip step,
+    extracted from the compiled HLO (SPMD: every device runs the same
+    program, so op shapes ARE per-device volumes). Returns op count and
+    byte totals for the collective-permute halo exchanges."""
+    run = sharded_round_trip_jit(cfg, mesh)
+    x = jnp.zeros((channels, total_len), jnp.float32)
+    txt = jax.jit(run).lower(x).compile().as_text()
+    per_op = permute_bytes_from_hlo(txt)
     return {
         "collective_permute_ops": len(per_op),
         "bytes_per_device_per_step": sum(per_op),

@@ -532,3 +532,29 @@ def test_blocked_mesh_main_dots_independent_of_halo_permutes():
         "independent of the halo permutes — the main chain must not "
         "consume the halos"
     )
+
+
+def test_permute_bytes_regex_sync_and_async_hlo():
+    """The HLO permute-byte parser must count op DEFINITIONS once on both
+    lowerings: sync `collective-permute(...)` and async start/done pairs —
+    a `-done` line's `%collective-permute-start.N` operand NAME must not
+    match (advisor r3: the old regex double-counted async pairs)."""
+    from crlot_tpu.distributed.sharded_pipeline import permute_bytes_from_hlo
+
+    sync = (
+        "  %cp.1 = f32[2,768]{1,0} collective-permute(f32[2,768]{1,0} "
+        "%param.3), source_target_pairs={{0,1},{1,2}}\n"
+    )
+    async_pair = (
+        "  %collective-permute-start.1 = (f32[2,768]{1,0}, f32[2,768]{1,0})"
+        " collective-permute-start(f32[2,768]{1,0} %param.3), "
+        "source_target_pairs={{0,1}}\n"
+        "  %collective-permute-done.1 = f32[2,768]{1,0} "
+        "collective-permute-done((f32[2,768]{1,0}, f32[2,768]{1,0}) "
+        "%collective-permute-start.1)\n"
+    )
+    assert permute_bytes_from_hlo(sync) == [2 * 768 * 4]
+    assert permute_bytes_from_hlo(async_pair) == [2 * 768 * 4]
+    assert permute_bytes_from_hlo(sync + async_pair) == [
+        2 * 768 * 4, 2 * 768 * 4,
+    ]
