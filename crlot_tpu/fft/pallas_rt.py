@@ -215,17 +215,67 @@ def _rt_parts(ebuf, obuf, ch, cl, sh, sl, cih, cil, sih, sil,
     return _dot3(re, cih, cil), _dot3(im, sih, sil)
 
 
-def _rt_kernel(nfft, hop, r_count, tm, flip_mm, spectral_packed, *args):
+def _convert_spectral(spectral_packed, rows: int, k: int):
+    """Hoist a `.packed` fn's closed-over arrays into explicit operands:
+    a pallas kernel cannot capture traced constants (e.g.
+    spectral_subtraction's noise profile, composed EQ curves), so the fn
+    is traced to a jaxpr here and its consts ride as VMEM inputs
+    (jax.closure_convert does NOT do this — it only hoists perturbable
+    outer-scope tracers, leaving concrete arrays embedded). Returns
+    (closed_fn, const_arrays_2d, const_shapes): the kernel rebuilds each
+    const from its (1, size) VMEM ref via reshape and calls
+    closed_fn(re, im, *consts)."""
+    import jax
+
+    example = [
+        jax.ShapeDtypeStruct((rows, k), jnp.float32) for _ in range(2)
+    ]
+    closed_jaxpr = jax.make_jaxpr(
+        lambda re, im: spectral_packed(re, im)
+    )(*example)
+    consts = closed_jaxpr.consts
+
+    def closed(re, im, *cs):
+        outs = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, list(cs), re, im)
+        return tuple(outs)
+
+    shapes = tuple(tuple(np.shape(c)) for c in consts)
+    flat = [jnp.reshape(jnp.asarray(c), (1, -1)) for c in consts]
+    return closed, flat, shapes
+
+
+def _spectral_fn_from_refs(spectral, sp_refs):
+    """Effective (re, im) -> (re, im) fn inside the kernel, or None."""
+    if spectral is None:
+        return None
+    closed, shapes = spectral
+
+    def fn(re, im):
+        consts = [
+            r[:].reshape(shp) for r, shp in zip(sp_refs, shapes)
+        ]
+        return closed(re, im, *consts)
+
+    return fn
+
+
+def _rt_kernel(nfft, hop, r_count, tm, flip_mm, spectral, *args):
+    n_sp = len(spectral[1]) if spectral is not None else 0
     if flip_mm:
         (bx_hbm, w_ref, wf_ref, jhop,
-         ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
-         out_ref, bx_s, ybuf, zbuf, ebuf, obuf, sems) = args
+         ch, cl, sh, sl, cih, cil, sih, sil, jh, jl) = args[:14]
+        sp_refs = args[14 : 14 + n_sp]
+        (out_ref, bx_s, ybuf, zbuf, ebuf, obuf, sems) = args[14 + n_sp :]
         fbx_s = None
     else:
         (bx_hbm, fbx_hbm, w_ref, wf_ref,
-         ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
-         out_ref, bx_s, fbx_s, ybuf, zbuf, ebuf, obuf, sems) = args
+         ch, cl, sh, sl, cih, cil, sih, sil, jh, jl) = args[:14]
+        sp_refs = args[14 : 14 + n_sp]
+        (out_ref, bx_s, fbx_s, ybuf, zbuf, ebuf, obuf, sems) = (
+            args[14 + n_sp :]
+        )
         jhop = None
+    spectral_packed = _spectral_fn_from_refs(spectral, sp_refs)
     i = pl.program_id(0)
     rows = bx_s.shape[0]
     d1 = pltpu.make_async_copy(
@@ -328,9 +378,16 @@ def _rt_call(
         const_spec((k, nfft - k)),
         const_spec((k, nfft - k)),
     ]
+    spectral = None
+    if spectral_packed is not None:
+        closed, sp_flat, sp_shapes = _convert_spectral(
+            spectral_packed, tm, k
+        )
+        spectral = (closed, sp_shapes)
+        inputs += sp_flat
+        in_specs += [const_spec(tuple(c.shape)) for c in sp_flat]
     out = pl.pallas_call(
-        partial(_rt_kernel, nfft, hop, r_count, tm, flip_mm,
-                spectral_packed),
+        partial(_rt_kernel, nfft, hop, r_count, tm, flip_mm, spectral),
         out_shape=jax.ShapeDtypeStruct((grid * tm, nfft), jnp.float32),
         grid=(grid,),
         in_specs=in_specs,
@@ -349,11 +406,13 @@ def _rt_call(
     return out[:n_frames]
 
 
-def _rt_ola_kernel(nfft, hop, r_count, tb, n_frames, eps, spectral_packed,
-                   bx_hbm, w_ref, wf_ref, jhop,
-                   ch, cl, sh, sl, cih, cil, sih, sil, jh, jl,
-                   norm_ref, out_ref, bx_s, ybuf, zbuf, ebuf, obuf,
-                   rtf, sems):
+def _rt_ola_kernel(nfft, hop, r_count, tb, n_frames, eps, spectral, *args):
+    n_sp = len(spectral[1]) if spectral is not None else 0
+    (bx_hbm, w_ref, wf_ref, jhop,
+     ch, cl, sh, sl, cih, cil, sih, sil, jh, jl, norm_ref) = args[:15]
+    sp_refs = args[15 : 15 + n_sp]
+    (out_ref, bx_s, ybuf, zbuf, ebuf, obuf, rtf, sems) = args[15 + n_sp :]
+    spectral_packed = _spectral_fn_from_refs(spectral, sp_refs)
     """Round-trip + OLA + normalize in one kernel: out tile = TB normalized
     signal hop-blocks. Computes NF = TB + R - 1 frames per tile (the R-1
     left-boundary frames are recomputed — (R-1)/TB FLOP overhead) so every
@@ -444,9 +503,16 @@ def _rt_ola_call(
     const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    spectral = None
+    sp_flat = []
+    if spectral_packed is not None:
+        closed, sp_flat, sp_shapes = _convert_spectral(
+            spectral_packed, nf, k
+        )
+        spectral = (closed, sp_shapes)
     out = pl.pallas_call(
         partial(_rt_ola_kernel, nfft, hop, r_count, tb, n_frames, eps,
-                spectral_packed),
+                spectral),
         out_shape=jax.ShapeDtypeStruct((grid * tb, hop), jnp.float32),
         grid=(grid,),
         in_specs=[
@@ -466,7 +532,7 @@ def _rt_ola_call(
             const_spec((k, nfft - k)),
             pl.BlockSpec((tb, hop), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + [const_spec(tuple(c.shape)) for c in sp_flat],
         out_specs=pl.BlockSpec(
             (tb, hop), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -481,7 +547,7 @@ def _rt_ola_call(
         ],
         interpret=interpret,
     )(pbx, w2, wf2, jnp.asarray(_exchange_bf16(hop)),
-      ch, cl, sh, sl, cih, cil, sih, sil, jh, jl, norm_p)
+      ch, cl, sh, sl, cih, cil, sih, sil, jh, jl, norm_p, *sp_flat)
     return out.reshape(-1)[:out_len]
 
 

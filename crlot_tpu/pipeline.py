@@ -346,12 +346,18 @@ def round_trip(
             w64 = _window_f64(cfg)
             full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
             norm = jnp.asarray(_norm_np(cfg, num_frames, full))
-            out = roundtrip_signal_fused(
-                padded, cfg.frame_size, cfg.hop_size, num_frames, w64,
-                norm, cfg.eps, spectral_packed=spectral_fn.packed,
-            )
-            pad = spec_.pad_amount
-            return out[..., pad : pad + signal.shape[-1]]
+            try:
+                out = roundtrip_signal_fused(
+                    padded, cfg.frame_size, cfg.hop_size, num_frames, w64,
+                    norm, cfg.eps, spectral_packed=spectral_fn.packed,
+                )
+                pad = spec_.pad_amount
+                return out[..., pad : pad + signal.shape[-1]]
+            except Exception:  # noqa: BLE001
+                # A fn the kernel tracer cannot host (exotic ops,
+                # un-hoistable closure state) falls back to the XLA
+                # packed route below rather than crashing the pipeline.
+                pass
     if (
         spectral_fn is not None
         and hasattr(spectral_fn, "packed")

@@ -147,6 +147,28 @@ def main() -> int:
     pk_err = float(np.max(np.abs(y_packed - y_gc)))
     check("spectral_packed_gate", pk_err < 5e-4, f"max_err={pk_err:.2e}")
 
+    # 3c2. A `.packed` fn with a CLOSED-OVER ARRAY (noise profile): the
+    #      fused default route must hoist it into kernel operands
+    #      (pallas_rt._convert_spectral) and still match the complex
+    #      route on the real chip.
+    noise_prof = np.full(513, 0.02, np.float32)
+    sub = spc.spectral_subtraction(jnp.asarray(noise_prof), alpha=1.2)
+    y_sub = np.asarray(
+        jax.jit(lambda s: ct.round_trip(s, cfg, spectral_fn=sub))(
+            jnp.asarray(x1)
+        )
+    )
+    y_sub_c = np.asarray(
+        jax.jit(
+            lambda s: ct.round_trip(
+                s, cfg, spectral_fn=lambda sp: sub(sp)
+            )
+        )(jnp.asarray(x1))
+    )
+    sub_err = float(np.max(np.abs(y_sub - y_sub_c)))
+    check("spectral_subtraction_fused_hoist", sub_err < 5e-4,
+          f"max_err={sub_err:.2e}")
+
     # 3d. Complex response (pure delay) through the composed one-matmul
     #     path: output must be the delayed input.
     k = np.arange(513)

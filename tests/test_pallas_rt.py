@@ -238,3 +238,66 @@ def test_frames_fused_spectral_matches_xla_packed():
     re, im = gate.packed(re, im)
     want = np.asarray(irfft_folded_parts(re, im, nfft))
     assert np.max(np.abs(got - want)) < 5e-4
+
+
+@pytest.mark.parametrize("make_fn", ["subtraction", "compose"])
+def test_fullfused_spectral_other_packed_fns(make_fn):
+    """The fused in-VMEM route must hold for every `.packed` fn shape the
+    spectral module ships (it is the DEFAULT TPU route since r4):
+    spectral subtraction (data-dependent magnitude scaling) and composed
+    chains."""
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.padding import pad_signal
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.fft.matmul_backend import (
+        irfft_folded_parts,
+        rfft_folded_packed,
+    )
+    from crlot_tpu.fft.pallas_rt import roundtrip_signal_fused
+    from crlot_tpu.pipeline import _norm_np, _window_f64
+    from crlot_tpu.spectral import band_gain, compose, noise_gate
+    from crlot_tpu.spectral import spectral_subtraction
+
+    nfft, hop = 512, 128
+    if make_fn == "subtraction":
+        noise = np.full(nfft // 2 + 1, 0.05, np.float32)
+        fn = spectral_subtraction(jnp.asarray(noise), alpha=1.5)
+    else:
+        fn = compose(
+            band_gain([4000.0], [1.0, 0.4], 48000, nfft),
+            noise_gate(-50.0, attenuation_db=-40.0),
+        )
+    cfg = StftConfig(frame_size=nfft, hop_size=hop, center=True)
+    total = 8000
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-0.9, 0.9, total).astype(np.float32)
+    spec = cfg.frame_spec
+    f = spec.num_frames(total)
+    padded = pad_signal(
+        jnp.asarray(x), spec.pad_amount, spec.pad_amount, spec.pad_mode,
+        spec.pad_value,
+    )
+    w64 = _window_f64(cfg)
+    full = (f - 1) * hop + nfft
+    norm = jnp.asarray(_norm_np(cfg, f, full))
+    out = roundtrip_signal_fused(
+        padded, nfft, hop, f, w64, norm, cfg.eps, interpret=True,
+        spectral_packed=fn.packed,
+    )
+    pad = spec.pad_amount
+    y = np.asarray(out[pad : pad + total])
+
+    frames = jnp.stack(
+        [padded[i * hop : i * hop + nfft] for i in range(f)]
+    )
+    re, im = rfft_folded_packed(
+        frames, nfft, jnp.asarray(np.asarray(w64, np.float32))
+    )
+    re, im = fn.packed(re, im)
+    out_frames = irfft_folded_parts(re, im, nfft)
+    from crlot_tpu.ola.reference import normalize, overlap_add
+
+    acc = overlap_add(out_frames, hop, full)
+    ref = np.asarray(normalize(acc, norm, cfg.eps))[pad : pad + total]
+    assert np.max(np.abs(y - ref)) < 1e-3
