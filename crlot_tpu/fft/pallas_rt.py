@@ -386,9 +386,14 @@ def _rt_call(
         spectral = (closed, sp_shapes)
         inputs += sp_flat
         in_specs += [const_spec(tuple(c.shape)) for c in sp_flat]
+    # Inside a shard_map body the varying-axes checker requires the
+    # pallas output's vma to be declared; it varies exactly as the
+    # signal input does (empty set outside shard_map).
+    vma = getattr(jax.typeof(bx), "vma", frozenset())
     out = pl.pallas_call(
         partial(_rt_kernel, nfft, hop, r_count, tm, flip_mm, spectral),
-        out_shape=jax.ShapeDtypeStruct((grid * tm, nfft), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((grid * tm, nfft), jnp.float32,
+                                       vma=vma),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(

@@ -169,6 +169,39 @@ def main() -> int:
     check("spectral_subtraction_fused_hoist", sub_err < 5e-4,
           f"max_err={sub_err:.2e}")
 
+    # 3c3. MESH nonlinear route (shard_map + fused frames kernel) on a
+    #      1-device mesh: the only place this lowering meets real
+    #      hardware before a pod does.
+    from crlot_tpu.core.types import FftBackend
+    from crlot_tpu.distributed.mesh import make_mesh
+    from crlot_tpu.distributed.sharded_pipeline import sharded_round_trip
+
+    mcfg = ct.StftConfig(
+        frame_size=1024, hop_size=256, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    mesh1 = make_mesh(channel=1, time=1)
+    n_s = (x1.shape[-1] // 2048) * 2048  # hop- and block-aligned length
+    xm = x1[:n_s].reshape(1, -1)
+    y_mesh = np.asarray(
+        sharded_round_trip(
+            jnp.asarray(xm), mcfg, mesh1, spectral_fn=gate
+        )
+    )
+    y_ref = np.asarray(
+        jax.jit(lambda s: ct.round_trip(s, mcfg, spectral_fn=gate))(
+            jnp.asarray(xm[0])
+        )
+    )
+    cov = (mcfg.frame_spec.num_frames(xm.shape[1]) - 1) * 256 + 1024
+    # INTERIOR comparison only: the first/last N-H samples divide
+    # near-zero COLA coverage by eps on both routes, amplifying ULP
+    # noise arbitrarily (the dryrun's edge_policy).
+    m_err = float(np.max(np.abs(
+        y_mesh[0][768 : cov - 768] - y_ref[768 : cov - 768]
+    )))
+    check("mesh_fused_spectral_1dev", m_err < 5e-4, f"max_err={m_err:.2e}")
+
     # 3d. Complex response (pure delay) through the composed one-matmul
     #     path: output must be the delayed input.
     k = np.arange(513)
