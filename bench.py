@@ -423,9 +423,21 @@ def main() -> None:
             comp_meas = roof["compute_bound_samples_per_sec"] * min(
                 max(mxu_d, 1e-6), 1.0
             )
-            duty_fields["roofline_pct_chip_adjusted"] = round(
-                100 * sps / comp_meas, 1
-            )
+            pct = 100 * sps / comp_meas
+            if pct <= 105.0:
+                duty_fields["roofline_pct_chip_adjusted"] = round(pct, 1)
+            else:
+                # The burst and the duty probe sample the window seconds
+                # apart; a percentage meaningfully above 100 means the
+                # probe lagged into a degraded moment (same artifact
+                # class as duty > 1.1, opposite sign). Publish the raw
+                # value, refuse the impossible ratio.
+                duty_fields["roofline_pct_chip_adjusted_note"] = (
+                    f"dropped: burst/probe inconsistent ({pct:.0f}% of a "
+                    "ceiling the probe read lower than the burst implies)"
+                )
+                log(f"chip-adjusted {pct:.0f}% > 105%: duty probe lagged "
+                    "the window; field dropped")
         if hbm_d is not None:
             duty_fields["chip_hbm_gbps_measured"] = round(
                 hbm_d * hbm_peak / 1e9, 1
