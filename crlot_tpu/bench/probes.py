@@ -138,10 +138,18 @@ def quick_headline_duty(
             cfg.frame_size, cfg.hop_size, formulation="blocked"
         )
         comp_meas = roof["compute_bound_samples_per_sec"] * min(duty, 1.0)
+        # Regime flag: in a DEGRADED service window the chip-adjusted
+        # percentage is still depressed (MXU duty normalizes the chip
+        # rate, not the co-tenancy overlap loss the pipeline suffers —
+        # docs/DESIGN.md 'half-rate window' diagnosis), so consumers must
+        # only band it when the window was serving near-full-rate.
+        pct_model = 100.0 * sps / roof["roofline_samples_per_sec"]
         return {
             "sps": round(sps, 1),
             "mxu_duty": round(duty, 4),
             "roofline_pct_chip_adjusted": round(100.0 * sps / comp_meas, 1),
+            "roofline_pct_model": round(pct_model, 1),
+            "window_near_full_rate": bool(pct_model >= 72.0),
             "snr_db": round(snr, 1),
         }
     except Exception:  # noqa: BLE001 — tunnel 500s/UNIMPLEMENTED/hangs

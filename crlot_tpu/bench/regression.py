@@ -169,12 +169,22 @@ def main(argv=None) -> int:
         from .probes import quick_headline_duty
 
         duty = quick_headline_duty()
-        if duty is not None:
+        if duty is not None and duty.get("window_near_full_rate"):
             current["headline_roofline_pct_chip_adjusted"] = duty[
                 "roofline_pct_chip_adjusted"
             ]
             current["headline_snr_db"] = duty["snr_db"]
             current["_duty_probe"] = duty
+        elif duty is not None:
+            # A degraded window depresses even the chip-adjusted figure
+            # (co-tenancy overlap loss is not MXU-rate-normalizable);
+            # banding it would turn window luck into a regression verdict.
+            current["_duty_probe"] = dict(duty, skipped=(
+                "window degraded; chip-adjusted band not evaluated"
+            ))
+            current["headline_snr_db"] = duty["snr_db"]
+            print("duty probe: degraded window; band not evaluated",
+                  file=sys.stderr)
         else:
             print("duty probe unmeasurable this window", file=sys.stderr)
 
