@@ -140,6 +140,21 @@ def _dot3(a32, bh_ref, bl_ref):
     return (d(ah, bl_ref) + d(al, bh_ref)) + d(ah, bh_ref)
 
 
+def _dot2_exact_b(a32, bh_ref):
+    """2-pass variant for a B matrix EXACT in bf16 (its lo limb is
+    identically zero — e.g. the 0/1 exchange matrix J): d(ah, bl) would
+    multiply by zeros, so only the activation split pays. Values are
+    bitwise identical to _dot3 with a zero bl (x + 0.0 first changes
+    nothing), one full MXU pass cheaper."""
+    hi, lo = _split_f32(a32)
+    d = lambda p, q: jnp.dot(  # noqa: E731
+        p, q[:], preferred_element_type=jnp.float32
+    )
+    return d(lo.astype(jnp.bfloat16), bh_ref) + d(
+        hi.astype(jnp.bfloat16), bh_ref
+    )
+
+
 def _flip_lanes(src, jref):
     """Exact lane reversal of an f32 [rows, hop] block via the bf16 exchange
     matrix (Mosaic has no lane-reversal primitive). Exact because the hi/lo
@@ -299,7 +314,7 @@ def _rt_kernel(nfft, hop, r_count, tm, flip_mm, spectral, *args):
                      spectral_packed)
     h = nfft // 2
     out_ref[:, 0 : h + 1] = a + b
-    out_ref[:, h + 1 : nfft] = _dot3(a - b, jh, jl)
+    out_ref[:, h + 1 : nfft] = _dot2_exact_b(a - b, jh)
 
 
 @lru_cache(maxsize=None)
@@ -447,7 +462,7 @@ def _rt_ola_kernel(nfft, hop, r_count, tb, n_frames, eps, spectral, *args):
                      spectral_packed)
     h = nfft // 2
     rtf[:, 0 : h + 1] = a + b
-    rtf[:, h + 1 : nfft] = _dot3(a - b, jh, jl)
+    rtf[:, h + 1 : nfft] = _dot2_exact_b(a - b, jh)
 
     # OLA: out block j sums frame chunks in ascending frame order
     # (r descending), the canonical summation order of every OLA path.
