@@ -193,3 +193,58 @@ def test_int16_wire_path_within_one_lsb():
         np.abs(y_i16.astype(np.float32) / 32768.0 - y_f32)
     ) * 32768.0
     assert delta_lsb <= 1.0, f"int16 wire path off by {delta_lsb:.2f} LSB"
+
+
+def test_scan_over_chunks_matches_chunked_dispatch():
+    """The suite's one-program device-resident formulation (lax.scan over
+    chunks, bench/suite.py stream_sustained_device_resident_scan_*) must be
+    bit-identical to dispatching the same chunk program once per chunk with
+    a host-carried tail — same chunk boundaries, same OLA accumulation
+    order, so the outputs may not differ by even 1 ULP."""
+    import jax
+    import jax.numpy as jnp
+
+    from crlot_tpu.core.types import StftConfig
+    from crlot_tpu.frame.framing import hop_block_frames
+    from crlot_tpu.streaming_pipeline import streaming_round_trip_blocks
+
+    cfg = StftConfig(frame_size=256, hop_size=64, center=False)
+    n, hop = 256, 64
+    block_frames, blocks_per_chunk, n_chunks = 8, 4, 5
+    chunk_frames = block_frames * blocks_per_chunk
+    chunk_samples = chunk_frames * hop
+    span = chunk_samples + (n - hop)
+    x = _sig(n_chunks * chunk_samples + (n - hop), seed=11)
+
+    def chunk(seg, tail):
+        frames = hop_block_frames(seg, n, hop, chunk_frames)
+        frames = frames.reshape(blocks_per_chunk, block_frames, n)
+        return streaming_round_trip_blocks(
+            frames, cfg, block_frames, None, carry_tail=tail,
+            return_carry=True,
+        )
+
+    segs = np.stack(
+        [x[k * chunk_samples : k * chunk_samples + span]
+         for k in range(n_chunks)]
+    )
+
+    dispatch = jax.jit(chunk)
+    tail = jnp.zeros(n - hop, jnp.float32)
+    outs = []
+    for k in range(n_chunks):
+        y, tail = dispatch(jnp.asarray(segs[k]), tail)
+        outs.append(np.asarray(y))
+
+    @jax.jit
+    def scan_program(segs2, tail0):
+        def step_fn(tail_c, seg):
+            y, tail2 = chunk(seg, tail_c)
+            return tail2, y
+
+        return jax.lax.scan(step_fn, tail0, segs2)
+
+    _, ys = scan_program(
+        jnp.asarray(segs), jnp.zeros(n - hop, jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(ys), np.stack(outs))
