@@ -612,7 +612,7 @@ def bench_streaming(results: Dict[str, float]) -> None:
     # chunked-dispatch figure above pays a ~3 ms tunnel program launch per
     # 2.1 Msample chunk even with async dispatch — the dominant cost at
     # these rates). Same chunk boundaries, same carried tail, so the final
-    # chunk must be BIT-IDENTICAL to the dispatch-loop output; asserted
+    # chunk must be BIT-IDENTICAL to the dispatch-loop output; recorded
     # below. This is the production shape when a prefetcher keeps a ring of
     # chunks resident in HBM (reference's host-resident 53 M figure is the
     # CPU analog, docs/PHASE0_AUDIT.md:26).
@@ -650,7 +650,8 @@ def bench_streaming(results: Dict[str, float]) -> None:
     # Two independently-compiled programs: bit-exact on every backend
     # observed so far (same ops, same OLA accumulation order), but record
     # the delta rather than aborting the section if a compiler rewrite
-    # ever perturbs it; tests/test_bench_smoke gates bitexact hard on CPU.
+    # ever perturbs it; tests/test_streaming_pipeline.py's
+    # test_scan_over_chunks_matches_chunked_dispatch gates it hard on CPU.
     results["stream_scan_vs_dispatch_max_abs_delta"] = float(
         np.max(np.abs(y_scan_last - y_disp_last))
     )
