@@ -606,56 +606,6 @@ def bench_streaming(results: Dict[str, float]) -> None:
         total / wall_dev / 1e9, 4
     )
 
-    # --- device-resident ONE-PROGRAM variant: the same chunk pipeline with
-    # the host chunk loop lowered into a lax.scan inside a single jit, so
-    # the whole stream pays ONE dispatch instead of n_chunks (the
-    # chunked-dispatch figure above pays a ~3 ms tunnel program launch per
-    # 2.1 Msample chunk even with async dispatch — the dominant cost at
-    # these rates). Same chunk boundaries, same carried tail, so the final
-    # chunk must be BIT-IDENTICAL to the dispatch-loop output; recorded
-    # below. This is the production shape when a prefetcher keeps a ring of
-    # chunks resident in HBM (reference's host-resident 53 M figure is the
-    # CPU analog, docs/PHASE0_AUDIT.md:26).
-    segs_stacked = jnp.stack(segs)  # [n_chunks, span] (halo-overlapped)
-
-    @jax.jit
-    def scan_program(segs2, tail0):
-        def step_fn(tail_c, seg):
-            frames = hop_block_frames(seg, n, hop, chunk_frames)
-            frames = frames.reshape(blocks_per_chunk, block_frames, n)
-            y, tail2 = streaming_round_trip_blocks(
-                frames, cfg, block_frames, None, carry_tail=tail_c,
-                return_carry=True,
-            )
-            return tail2, y
-
-        tail_f, ys = jax.lax.scan(step_fn, tail0, segs2)
-        return ys, tail_f
-
-    ys_w, _ = scan_program(segs_stacked, zero_tail)  # compile + warm
-    jax.block_until_ready(ys_w)
-    del ys_w
-    t0 = time.time()
-    ys, _ = scan_program(segs_stacked, zero_tail)
-    jax.block_until_ready(ys)
-    wall_scan = time.time() - t0
-    results["stream_sustained_device_resident_scan_gsamples_per_s"] = round(
-        total / wall_scan / 1e9, 4
-    )
-    y_scan_last = np.asarray(ys[-1])
-    y_disp_last = np.asarray(last)
-    results["stream_scan_vs_dispatch_bitexact"] = int(
-        (y_scan_last == y_disp_last).all()
-    )
-    # Two independently-compiled programs: bit-exact on every backend
-    # observed so far (same ops, same OLA accumulation order), but record
-    # the delta rather than aborting the section if a compiler rewrite
-    # ever perturbs it; tests/test_streaming_pipeline.py's
-    # test_scan_over_chunks_matches_chunked_dispatch gates it hard on CPU.
-    results["stream_scan_vs_dispatch_max_abs_delta"] = float(
-        np.max(np.abs(y_scan_last - y_disp_last))
-    )
-    del ys
 
     # Mid-stream checkpoint: save/load the carry, continue one chunk, and
     # require the continuation to be bit-identical to the unbroken stream.
@@ -723,6 +673,57 @@ def bench_streaming(results: Dict[str, float]) -> None:
     results["stream_block_dispatch_ms"] = round((time.time() - t0) * 1e3, 2)
     results["stream_block_budget_ms"] = round(hop / sr * 1e3, 3)
     results["stream_algorithmic_latency_ms"] = round(n / sr * 1e3, 2)
+
+    # --- device-resident ONE-PROGRAM variant: the same chunk pipeline with
+    # the host chunk loop lowered into a lax.scan inside a single jit, so
+    # the whole stream pays ONE dispatch instead of n_chunks (the
+    # chunked-dispatch figure above pays a ~3 ms tunnel program launch per
+    # 2.1 Msample chunk even with async dispatch — the dominant cost at
+    # these rates). Same chunk boundaries, same carried tail, so the final
+    # chunk must be BIT-IDENTICAL to the dispatch-loop output; recorded
+    # below. This is the production shape when a prefetcher keeps a ring of
+    # chunks resident in HBM (reference's host-resident 53 M figure is the
+    # CPU analog, docs/PHASE0_AUDIT.md:26).
+    segs_stacked = jnp.stack(segs)  # [n_chunks, span] (halo-overlapped)
+
+    @jax.jit
+    def scan_program(segs2, tail0):
+        def step_fn(tail_c, seg):
+            frames = hop_block_frames(seg, n, hop, chunk_frames)
+            frames = frames.reshape(blocks_per_chunk, block_frames, n)
+            y, tail2 = streaming_round_trip_blocks(
+                frames, cfg, block_frames, None, carry_tail=tail_c,
+                return_carry=True,
+            )
+            return tail2, y
+
+        tail_f, ys = jax.lax.scan(step_fn, tail0, segs2)
+        return ys, tail_f
+
+    ys_w, _ = scan_program(segs_stacked, zero_tail)  # compile + warm
+    jax.block_until_ready(ys_w)
+    del ys_w
+    t0 = time.time()
+    ys, _ = scan_program(segs_stacked, zero_tail)
+    jax.block_until_ready(ys)
+    wall_scan = time.time() - t0
+    results["stream_sustained_device_resident_scan_gsamples_per_s"] = round(
+        total / wall_scan / 1e9, 4
+    )
+    y_scan_last = np.asarray(ys[-1])
+    y_disp_last = np.asarray(last)
+    results["stream_scan_vs_dispatch_bitexact"] = int(
+        (y_scan_last == y_disp_last).all()
+    )
+    # Two independently-compiled programs: bit-exact on every backend
+    # observed so far (same ops, same OLA accumulation order), but record
+    # the delta rather than aborting the section if a compiler rewrite
+    # ever perturbs it; tests/test_streaming_pipeline.py's
+    # test_scan_over_chunks_matches_chunked_dispatch gates it hard on CPU.
+    results["stream_scan_vs_dispatch_max_abs_delta"] = float(
+        np.max(np.abs(y_scan_last - y_disp_last))
+    )
+    del ys
 
 
 def main(argv=None) -> None:
