@@ -18,6 +18,7 @@ N=16384) — this backend is used for N <= MAX_MATMUL_NFFT, XLA FFT otherwise
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -563,14 +564,47 @@ def _composed_block_kernel(
     return np.ascontiguousarray(k.astype(np.float32))
 
 
-def composed_block_supported(nfft: int, hop: int) -> bool:
-    return (
+def blocked_group_for(nfft: int, hop: int):
+    """Group size G for the blocked hop-block Toeplitz kernel, or None when
+    no valid G exists (the support gate). Constraints:
+
+    * `(G * hop) % 128 == 0`: the kernel's [*, G*hop] output tile must be
+      TPU lane-aligned (hop >= 128 alone satisfied this before r5; smaller
+      hops — e.g. the N=256/hop=64 sweep cell, r4 verdict item 5 — become
+      supportable by folding MORE output blocks per matmul row).
+    * `G | 2*(R-1)` (R = nfft/hop): makes the kernel height
+      L_G = (2R + G - 2)*hop an exact multiple of G*hop, so the kernel
+      needs no zero-row padding and the look-ahead context equals the
+      (N - hop) halo the mesh formulation already exchanges.
+
+    hop % 128 == 0 always yields G=2 (the r3/r4 measured-fastest choice;
+    docs/DESIGN.md), so existing configs keep their exact kernels.
+    CRLOT_BLOCKED_GROUP overrides for A/B measurement (validity-checked).
+    """
+    if not (
         nfft <= MAX_MATMUL_NFFT
-        and hop > 0
+        and 0 < hop < nfft
         and nfft % hop == 0
-        and hop % 128 == 0
         and nfft // hop >= 2
-    )
+    ):
+        return None
+    r = nfft // hop
+
+    def ok(g):
+        return (g * hop) % 128 == 0 and (2 * (r - 1)) % g == 0
+
+    env = os.environ.get("CRLOT_BLOCKED_GROUP")
+    if env:
+        g = int(env)
+        return g if ok(g) else None
+    for g in range(2, 2 * (r - 1) + 1):
+        if ok(g):
+            return g
+    return None
+
+
+def composed_block_supported(nfft: int, hop: int) -> bool:
+    return blocked_group_for(nfft, hop) is not None
 
 
 @lru_cache(maxsize=None)
@@ -629,6 +663,95 @@ def hopblock_apply(
         )
         acc = term if acc is None else acc + term
     return acc.reshape(acc.shape[:-2] + (nb * block,))[..., :n_out]
+
+
+def blocked_runtime_kernel(
+    nfft: int,
+    hop: int,
+    group: int,
+    awin_bytes: bytes,
+    swin_bytes,
+    response_kern_bytes: bytes,
+):
+    """(kern_f32 [mg*G*hop, G*hop], mg): the grouped kernel zero-row-padded
+    to a whole number of G*hop tiles — the exact runtime operand of every
+    blocked formulation (one-shot, mesh, chunked streamers)."""
+    gh = group * hop
+    kern = _composed_block_kernel_grouped(
+        nfft, hop, group, awin_bytes, swin_bytes, response_kern_bytes
+    )
+    mg = -(-kern.shape[0] // gh)
+    if mg * gh != kern.shape[0]:
+        kern = np.pad(kern, ((0, mg * gh - kern.shape[0]), (0, 0)))
+    return kern, mg
+
+
+def blocked_chunk_geometry(nfft: int, hop: int, group=None) -> dict:
+    """Context a halo-extended streaming chunk must carry so its hop-block
+    Toeplitz rows read exactly what the one-shot's rows read: output block
+    bg consumes input [bg*gh - left_ctx, bg*gh - left_ctx + mg*gh). With
+    G | 2(R-1) (enforced by blocked_group_for) right_ctx == N - hop — the
+    same halo the mesh formulation exchanges."""
+    if group is None:
+        group = blocked_group_for(nfft, hop)
+        assert group is not None, (nfft, hop)
+    r_count = nfft // hop
+    gh = group * hop
+    edge = (r_count - 1) * hop
+    l_g = edge + nfft + (group - 1) * hop
+    mg = -(-l_g // gh)
+    return {
+        "group": group,
+        "gh": gh,
+        "mg": mg,
+        "left_ctx": edge,
+        "right_ctx": mg * gh - gh - edge,
+        "edge": edge,
+    }
+
+
+def blocked_patch_span(nfft: int, hop: int) -> int:
+    """Input samples an edge patch reads: the R-1 boundary frames span
+    (R-2)*hop + nfft samples at the stream head (or tail)."""
+    return (nfft // hop - 2) * hop + nfft
+
+
+def blocked_edge_patch(
+    x_region: jnp.ndarray,  # [..., (R-2)*hop + nfft] stream head/tail samples
+    nfft: int,
+    hop: int,
+    awin_bytes: bytes,
+    swin_bytes,
+    response_bytes: bytes,
+    precision=None,
+    side: str = "head",
+) -> jnp.ndarray:
+    """Exact phantom-frame edge patch shared by the offline blocked
+    round-trip, the mesh formulation, and the chunked streamers: the
+    UN-normalized local OLA of the R-1 real boundary frames, [..., (R-1)*hop].
+
+    `x_region` is the FIRST (side="head") or LAST (side="tail")
+    `blocked_patch_span` samples of the stream. One home for these ops is
+    what makes "streamed output == one-shot output" a BIT-exactness claim:
+    every caller runs the identical slice/matmul/ascending-OLA sequence
+    (batch size may differ, which XLA's row-independent dots don't see).
+    """
+    r_count = nfft // hop
+    edge = (r_count - 1) * hop
+    prec = _prec(precision)
+    m = jnp.asarray(
+        _composed_roundtrip_basis(nfft, awin_bytes, swin_bytes, response_bytes)
+    )
+    frames_small = jnp.stack(
+        [x_region[..., f * hop : f * hop + nfft] for f in range(r_count - 1)],
+        axis=-2,
+    )  # [..., R-1, N]
+    of = jnp.matmul(frames_small, m, precision=prec)
+    span_l = (r_count - 2) * hop + nfft
+    acc_l = jnp.zeros(of.shape[:-2] + (span_l,), jnp.float32)
+    for f in range(r_count - 1):  # ascending order (OLA convention)
+        acc_l = acc_l.at[..., f * hop : f * hop + nfft].add(of[..., f, :])
+    return acc_l[..., :edge] if side == "head" else acc_l[..., span_l - edge :]
 
 
 def roundtrip_composed_blocked(
@@ -700,46 +823,26 @@ def roundtrip_composed_blocked(
         ).tobytes()
     else:
         rb_kern = rb
-    kern = _composed_block_kernel_grouped(nfft, hop, group, wb, sb, rb_kern)
-    mg = -(-kern.shape[0] // gh)  # matmul terms (7 at G=1, 4 at G=2, ...)
-    if mg * gh != kern.shape[0]:
-        kern = np.pad(kern, ((0, mg * gh - kern.shape[0]), (0, 0)))
+    kern, mg = blocked_runtime_kernel(nfft, hop, group, wb, sb, rb_kern)
     x = padded[..., :full].astype(jnp.float32)
     # Group row bg reads x[bg*G*hop - (R-1)*hop : ... + mg*G*hop) with zero
     # halo on both sides.
     out = hopblock_apply(
         x, kern, gh, full, (r_count - 1) * hop, precision
     )
-    prec = _prec(precision)
     # Exact edge patch: recompute the head/tail (R-1) blocks from the real
     # boundary frames (phantom-frame-free); from the UNSCALED basis so the
     # norm-folded mode can divide them by the true (position-varying)
-    # edge norm.
-    m = jnp.asarray(_composed_roundtrip_basis(nfft, wb, sb, rb))
-
-    def _edge_frames(start_frame):
-        rows = [
-            x[..., f * hop : f * hop + nfft]
-            for f in range(start_frame, start_frame + r_count - 1)
-        ]
-        return jnp.stack(rows, axis=-2)  # [..., R-1, N]
-
-    head_of = jnp.matmul(_edge_frames(0), m, precision=prec)
-    tail_of = jnp.matmul(_edge_frames(num_frames - r_count + 1), m,
-                         precision=prec)
-
-    def _local_ola(frames_small):
-        span = (r_count - 2) * hop + nfft
-        acc_l = jnp.zeros(frames_small.shape[:-2] + (span,), jnp.float32)
-        for f in range(r_count - 1):
-            acc_l = acc_l.at[..., f * hop : f * hop + nfft].add(
-                frames_small[..., f, :]
-            )
-        return acc_l
-
-    head = _local_ola(head_of)[..., :edge]
-    tail_span = _local_ola(tail_of)
-    tail = tail_span[..., tail_span.shape[-1] - edge :]
+    # edge norm. Shared ops with the chunked streamers (blocked_edge_patch)
+    # so streamed-vs-one-shot stays BIT-exact.
+    span_p = blocked_patch_span(nfft, hop)
+    head = blocked_edge_patch(
+        x[..., :span_p], nfft, hop, wb, sb, rb, precision, "head"
+    )
+    tail = blocked_edge_patch(
+        x[..., full - span_p : full], nfft, hop, wb, sb, rb, precision,
+        "tail",
+    )
     if norm_c is not None:
         head = head / jnp.asarray(
             np.maximum(norm_arr[:edge], eps).astype(np.float32)

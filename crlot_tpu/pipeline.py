@@ -114,6 +114,66 @@ def istft(
     return out[..., pad : pad + length]
 
 
+def blocked_norm_fold(cfg: StftConfig, num_frames: int):
+    """(norm_arr, full, edge, fold_ok) for the blocked round-trip's
+    NORM-FOLD mode: fold_ok when the interior COLA sum is constant — true
+    for any window whose hop-aligned cosine harmonics cancel at this R —
+    so 1/norm folds into the kernel at design time and only the
+    2*(R-1)*hop edge samples divide by the true position-varying norm.
+    Interior/edge norm VALUES are num_frames-independent (each position
+    sums the same window slices in the same order), which is what lets the
+    chunked streamer reproduce the one-shot's normalization bit-exactly
+    without knowing the stream length."""
+    full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
+    norm_arr = _norm_np(cfg, num_frames, full)
+    edge = (cfg.frame_size // cfg.hop_size - 1) * cfg.hop_size
+    interior = norm_arr[edge : full - edge]
+    fold_ok = (
+        interior.size > 0
+        and interior[0] > 0
+        and np.max(np.abs(interior - interior[0])) <= 1e-9 * interior[0]
+    )
+    return norm_arr, full, edge, fold_ok
+
+
+def blocked_composed_round_trip(
+    signal: jnp.ndarray, cfg: StftConfig, per_bin: np.ndarray
+) -> jnp.ndarray:
+    """round_trip's blocked (hop-block Toeplitz) branch as a standalone,
+    gate-free program: the formulation the TPU identity/EQ headline runs
+    (docs/DESIGN.md 'blocked identity'), exposed so the chunked blocked
+    streamers (streaming_pipeline) and CPU tests can target the EXACT
+    one-shot program their bit-exactness claims reference. Caller
+    contract: composed_block_supported(N, hop) and
+    num_frames >= 2*(N/hop - 1)."""
+    from .core.padding import pad_signal
+    from .fft.matmul_backend import (
+        blocked_group_for,
+        roundtrip_composed_blocked,
+    )
+
+    spec_ = cfg.frame_spec
+    num_frames = spec_.num_frames(signal.shape[-1])
+    w64 = _window_f64(cfg)
+    padded = pad_signal(
+        signal, spec_.pad_amount, spec_.pad_amount,
+        spec_.pad_mode, spec_.pad_value,
+    )
+    norm_arr, full, edge, fold_ok = blocked_norm_fold(cfg, num_frames)
+    out = roundtrip_composed_blocked(
+        padded, cfg.frame_size, cfg.hop_size, num_frames, w64,
+        per_bin, w64 if cfg.synthesis_window else None,
+        precision=_fft.to_lax_precision(cfg.fft_precision),
+        group=blocked_group_for(cfg.frame_size, cfg.hop_size),
+        norm_f64=norm_arr if fold_ok else None,
+        eps=cfg.eps,
+    )
+    pad = spec_.pad_amount
+    if not fold_ok:
+        out = out / jnp.maximum(jnp.asarray(norm_arr), cfg.eps)
+    return out[..., pad : pad + signal.shape[-1]]
+
+
 def round_trip(
     signal: jnp.ndarray,
     cfg: StftConfig,
@@ -234,46 +294,7 @@ def round_trip(
                 composed_block_supported(cfg.frame_size, cfg.hop_size)
                 and num_frames >= 2 * (cfg.frame_size // cfg.hop_size - 1)
             ):
-                # Blocked (hop-block Toeplitz) form: OLA folds into the
-                # kernel, no [F, N] frame matrix, ~2x fewer MACs/sample.
-                # group=2 measured fastest and most stable across tunnel
-                # rate regimes (scripts/compare_rt.py, docs/DESIGN.md).
-                from .core.padding import pad_signal
-                from .fft.matmul_backend import roundtrip_composed_blocked
-
-                padded = pad_signal(
-                    signal, spec_.pad_amount, spec_.pad_amount,
-                    spec_.pad_mode, spec_.pad_value,
-                )
-                # NORM-FOLD mode (measured parity with divide-after, but
-                # one fewer logical pass and exact-f64 normalization;
-                # docs/DESIGN.md 'Norm folding'): when the interior COLA
-                # sum is constant — true for any window whose hop-aligned
-                # cosine harmonics cancel at this R — 1/norm folds into
-                # the kernel at design time and only the 2*(R-1)*hop edge
-                # samples divide by the true position-varying norm.
-                full = (num_frames - 1) * cfg.hop_size + cfg.frame_size
-                norm_arr = _norm_np(cfg, num_frames, full)
-                edge = (cfg.frame_size // cfg.hop_size - 1) * cfg.hop_size
-                interior = norm_arr[edge : full - edge]
-                fold_ok = (
-                    interior.size > 0
-                    and interior[0] > 0
-                    and np.max(np.abs(interior - interior[0]))
-                    <= 1e-9 * interior[0]
-                )
-                out = roundtrip_composed_blocked(
-                    padded, cfg.frame_size, cfg.hop_size, num_frames, w64,
-                    per_bin, w64 if cfg.synthesis_window else None,
-                    precision=_fft.to_lax_precision(cfg.fft_precision),
-                    group=2,
-                    norm_f64=norm_arr if fold_ok else None,
-                    eps=cfg.eps,
-                )
-                if not fold_ok:
-                    return norm_crop(out, num_frames)
-                pad = spec_.pad_amount
-                return out[..., pad : pad + signal.shape[-1]]
+                return blocked_composed_round_trip(signal, cfg, per_bin)
             # Always the f32 composed path, regardless of tier: the int8
             # variant (int8_backend.roundtrip_composed_i8) loses SNR on
             # near-diagonal circulants and could dip below the 60 dB bar

@@ -248,3 +248,189 @@ def test_scan_over_chunks_matches_chunked_dispatch():
         jnp.asarray(segs), jnp.zeros(n - hop, jnp.float32)
     )
     np.testing.assert_array_equal(np.asarray(ys), np.stack(outs))
+
+
+# ---------------------------------------------------------------------------
+# Blocked (hop-block Toeplitz) chunk streamer — r5 (closes the r4 verdict's
+# 26x one-shot-vs-stream gap by routing the headline formulation into the
+# streaming path).
+# ---------------------------------------------------------------------------
+
+import jax
+import jax.numpy as jnp
+
+from crlot_tpu.core.types import FftBackend
+from crlot_tpu.pipeline import blocked_composed_round_trip
+from crlot_tpu.streaming_pipeline import (
+    BlockedChunkStreamer,
+    blocked_stream_supported,
+)
+
+
+def _blocked_oneshot(x, cfg, fn=None):
+    from crlot_tpu.spectral import resolve_per_bin_response
+
+    pb = (
+        np.ones(cfg.frame_size // 2 + 1)
+        if fn is None
+        else resolve_per_bin_response(fn, cfg.frame_size)
+    )
+    return np.asarray(
+        jax.jit(lambda v: blocked_composed_round_trip(v, cfg, pb))(
+            jnp.asarray(x)
+        )
+    )
+
+
+def _stream(cfg, x, s, fn=None):
+    st = BlockedChunkStreamer(cfg, fn)
+    k = x.shape[-1] // s
+    outs = [st.feed(x[:, i * s : (i + 1) * s]) for i in range(k)]
+    outs.append(st.finish())
+    return np.concatenate([o for o in outs if o is not None], axis=1)
+
+
+def _csig(c, t, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-0.9, 0.9, (c, t)).astype(np.float32)
+
+
+@pytest.mark.parametrize("n,hop,s,k", [
+    (1024, 256, 8192, 4),   # headline config
+    (1024, 256, 8192, 1),   # single-chunk stream (head+tail in one chunk)
+    (512, 128, 4096, 3),
+    (256, 64, 1280, 3),     # hop < 128: newly supported via blocked_group_for
+    (1024, 64, 4096, 3),
+])
+def test_blocked_streamer_identity_bitexact_vs_oneshot(n, hop, s, k):
+    """Chunked blocked identity == blocked one-shot, BIT-exact: every chunk
+    row is the one-shot's full-kernel-row dot over the same data (real
+    halo context replaces the one-shot's interior view; zeros at the
+    stream edges), and the stream head/tail run the one-shot's exact
+    phantom-frame patch ops."""
+    cfg = StftConfig(
+        frame_size=n, hop_size=hop, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    assert blocked_stream_supported(cfg, s)
+    x = _csig(2, k * s, seed=n + hop)
+    np.testing.assert_array_equal(
+        _stream(cfg, x, s), _blocked_oneshot(x, cfg)
+    )
+
+
+def test_blocked_streamer_eq_response():
+    """Fixed per-bin EQ: stream head/tail patches are BIT-exact vs the
+    one-shot (mesh-independent op shapes); the interior matches within
+    ~2 ULP on CPU, where the backend's within-row dot reduction order
+    varies with the matmul batch size (chunk rows vs whole-stream rows —
+    the documented CPU caveat; the MXU's fixed row tiling is
+    batch-independent, asserted on-device by the bench suite's
+    stream_blocked_vs_oneshot_bitexact gate)."""
+    import crlot_tpu.spectral as sp
+
+    cfg = StftConfig(
+        frame_size=1024, hop_size=256, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    eq = sp.band_gain([3000.0], [1.0, 0.4], 48000, 1024)
+    s, k = 8192, 3
+    x = _csig(2, k * s, seed=7)
+    y = _stream(cfg, x, s, eq)
+    y1 = _blocked_oneshot(x, cfg, eq)
+    edge = cfg.frame_size - cfg.hop_size
+    np.testing.assert_array_equal(y[:, :edge], y1[:, :edge])
+    np.testing.assert_array_equal(y[:, -edge:], y1[:, -edge:])
+    np.testing.assert_allclose(y, y1, rtol=0, atol=2e-6)
+
+
+def test_blocked_streamer_synthesis_window_nonfold():
+    """synthesis_window mode fails the norm-fold gate (f32 interior wobbles
+    ~1 ULP) exactly like the one-shot's own gate; the streamer's
+    divide-after tile must reproduce the one-shot's divide-after values."""
+    cfg = StftConfig(
+        frame_size=512, hop_size=128, center=False,
+        fft_backend=FftBackend.MATMUL, synthesis_window=True,
+    )
+    s, k = 4096, 3
+    assert blocked_stream_supported(cfg, s)
+    x = _csig(2, k * s, seed=9)
+    y = _stream(cfg, x, s)
+    y1 = _blocked_oneshot(x, cfg)
+    edge = cfg.frame_size - cfg.hop_size
+    np.testing.assert_array_equal(y[:, :edge], y1[:, :edge])
+    np.testing.assert_array_equal(y[:, -edge:], y1[:, -edge:])
+    np.testing.assert_allclose(y, y1, rtol=0, atol=2e-6)
+    # and the reconstruction is actually good (interior: the first/last
+    # edge samples divide near-zero w^2 coverage by eps — edge policy)
+    assert snr_db(x[:, edge:-edge], y[:, edge:-edge]) > 60.0
+
+
+def test_blocked_streamer_ckpt_resume_bitexact():
+    """Mid-stream checkpoint through an npz round-trip resumes
+    BIT-identically to the unbroken stream (same programs, same state)."""
+    import tempfile
+
+    cfg = StftConfig(
+        frame_size=1024, hop_size=256, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    s, k = 8192, 4
+    x = _csig(2, k * s, seed=11)
+    full = _stream(cfg, x, s)
+
+    st = BlockedChunkStreamer(cfg)
+    outs = [st.feed(x[:, i * s : (i + 1) * s]) for i in range(2)]
+    state = st.state()
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        np.savez(f.name, prev=state["prev"], lctx=state["lctx"],
+                 first=state["first"], s=state["s"])
+        with np.load(f.name) as z:
+            restored = {
+                "prev": z["prev"], "lctx": z["lctx"],
+                "first": bool(z["first"]), "s": int(z["s"]),
+            }
+    st2 = BlockedChunkStreamer(cfg)
+    st2.load_state(restored)
+    outs += [st2.feed(x[:, i * s : (i + 1) * s]) for i in range(2, k)]
+    outs.append(st2.finish())
+    resumed = np.concatenate([o for o in outs if o is not None], axis=1)
+    np.testing.assert_array_equal(resumed, full)
+
+
+def test_blocked_streamer_validation():
+    cfg = StftConfig(
+        frame_size=1024, hop_size=256, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    with pytest.raises(ValueError, match="center"):
+        BlockedChunkStreamer(StftConfig(frame_size=1024, hop_size=256,
+                                        center=True))
+    st = BlockedChunkStreamer(cfg)
+    with pytest.raises(ValueError, match="multiple of G\\*hop"):
+        st.feed(np.zeros((1, 1000), np.float32))
+    st.feed(np.zeros((1, 8192), np.float32))
+    with pytest.raises(ValueError, match="changed"):
+        st.feed(np.zeros((1, 4096), np.float32))
+    st.finish()
+    with pytest.raises(RuntimeError, match="finish"):
+        st.feed(np.zeros((1, 8192), np.float32))
+    # nonlinear spectral fns are not per-bin: unsupported
+    assert not blocked_stream_supported(cfg, 8192, lambda spec: spec ** 2)
+
+
+def test_blocked_group_for_gate():
+    from crlot_tpu.fft.matmul_backend import (
+        blocked_group_for,
+        composed_block_supported,
+    )
+
+    assert blocked_group_for(1024, 256) == 2   # unchanged headline kernel
+    assert blocked_group_for(1024, 512) == 2
+    assert blocked_group_for(256, 64) == 2     # r5: hop < 128 now supported
+    assert blocked_group_for(1024, 64) == 2
+    assert composed_block_supported(256, 64)
+    assert not composed_block_supported(1024, 192)   # hop does not divide N
+    assert not composed_block_supported(1000, 250)   # no lane-aligning G
+    assert not composed_block_supported(1024, 1024)  # no overlap (R < 2)
+    assert not composed_block_supported(8192, 512)   # beyond MAX_MATMUL_NFFT
