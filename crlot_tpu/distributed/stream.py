@@ -16,20 +16,89 @@ the per-chunk context refeed crosses DCN (via the host).
 
 from __future__ import annotations
 
+from functools import lru_cache, partial
 from typing import Callable, Iterator, Optional
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..core.types import StftConfig
 from .mesh import CHANNEL_AXIS, TIME_AXIS, auto_mesh
-from .sharded_pipeline import sharded_round_trip
+from .sharded_pipeline import _norm_np, blocked_per_bin, sharded_round_trip
 
 
 def _ctx_len(cfg: StftConfig, n_time: int) -> int:
     unit = n_time * cfg.hop_size
     return -(-cfg.frame_size // unit) * unit
+
+
+@partial(jax.jit, static_argnames=("cfg", "rb", "side"))
+def _stream_edge_patch(region, norm_edge, cfg: StftConfig, rb: bytes, side):
+    """Stream-head/tail phantom-frame patch for the BLOCKED mesh stream:
+    the shared `blocked_edge_patch` ops (identical to what the one-shot
+    mesh round-trip computes on its edge devices) divided by the true
+    position-varying edge norm (identical to the one-shot's
+    `acc / max(norm, eps)` at those positions)."""
+    from ..fft import dispatch as _fft
+    from ..fft.matmul_backend import blocked_edge_patch
+    from ..window.windows import get_window
+
+    n, hop = cfg.frame_size, cfg.hop_size
+    w64 = get_window(cfg.window, n, cfg.periodic, dtype=np.float64)
+    wb = np.ascontiguousarray(w64, np.float64).tobytes()
+    sb = wb if cfg.synthesis_window else None
+    prec = _fft.to_lax_precision(cfg.fft_precision)
+    p = blocked_edge_patch(region, n, hop, wb, sb, rb, prec, side)
+    return p / jnp.maximum(norm_edge, jnp.float32(cfg.eps))
+
+
+@lru_cache(maxsize=None)
+def _jit_mesh_rt(cfg: StftConfig, mesh, spectral_fn):
+    """Module-level cache of the jitted full-validity mesh call: a fresh
+    ShardedStreamer (e.g. a checkpoint restore, or a benchmark loop
+    constructing streamers per run) must reuse the compiled program, not
+    re-trace it."""
+    return jax.jit(
+        lambda v: sharded_round_trip(v, cfg, mesh, spectral_fn)
+    )
+
+
+def _blocked_stream_mode(cfg, mesh, spectral_fn, s: int):
+    """Blocked-formulation config for a chunked mesh stream of [C, s]
+    chunks, or None when the gate does not hold. Mirrors the one-shot's
+    `blocked_per_bin` gate evaluated at the halo-extended chunk shape, so
+    every chunk (head, middle, tail) runs the SAME blocked program the
+    one-shot runs, with the stream head/tail patches applied by the
+    streamer (the in-mesh patches land in the discarded context region)."""
+    from ..streaming_pipeline import _resolve_blocked_per_bin
+
+    n, hop = cfg.frame_size, cfg.hop_size
+    n_time = mesh.shape[TIME_AXIS]
+    l_ctx = _ctx_len(cfg, n_time)
+    ext = s + 2 * l_ctx
+    edge = n - hop
+    if s < 2 * edge + n:  # head/tail patches must never overlap
+        return None
+    rb = _resolve_blocked_per_bin(cfg, spectral_fn)
+    if rb is None:
+        return None
+    nf = (ext - n) // hop + 1
+    per_bin = blocked_per_bin(
+        cfg, spectral_fn, t_block=ext // n_time, num_frames=nf
+    )
+    if per_bin is None:
+        return None
+    r = n // hop
+    nf_ref = 2 * (r - 1) + 2
+    span_ref = (nf_ref - 1) * hop + n
+    norm_ref = _norm_np(cfg, nf_ref, span_ref)  # edge values nf-independent
+    return {
+        "rb": rb,
+        "head_norm": np.asarray(norm_ref[:edge], np.float32),
+        "tail_norm": np.asarray(norm_ref[span_ref - edge :], np.float32),
+    }
 
 
 def sharded_stream(
@@ -97,10 +166,12 @@ class ShardedStreamer:
         cfg: StftConfig,
         mesh: Optional[Mesh] = None,
         spectral_fn: Optional[Callable] = None,
+        allow_blocked: bool = True,
     ) -> None:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else auto_mesh()
         self.spectral_fn = spectral_fn
+        self.allow_blocked = allow_blocked
         self._n_time = self.mesh.shape[TIME_AXIS]
         self._l_ctx = _ctx_len(cfg, self._n_time)
         self._prev: Optional[np.ndarray] = None  # previous chunk
@@ -108,17 +179,80 @@ class ShardedStreamer:
         self._first = True  # next processed chunk is the stream head
         self._s: Optional[int] = None
         self._finished = False  # finish() ends the stream; feed() raises
+        self._mode = None  # blocked-mode dict, or None; set at first feed
+        self._jit_blocked = None  # jitted full-validity mesh call (async)
 
-    def _process(self, left, mid, right, valid_from_mid):
+    def _process(self, left, mid, right, valid_from_mid, is_tail=False):
         l_ctx = self._l_ctx
         ext = np.concatenate([left[:, -l_ctx:], mid, right[:, :l_ctx]], axis=1)
+        if self._mode is not None:
+            # BLOCKED (headline) formulation, r5: every chunk runs the
+            # full-validity blocked program (the left/right context makes
+            # the kept rows read exactly what the one-shot's rows read;
+            # the in-mesh phantom patches land in the discarded context),
+            # and only the stream's head/tail chunks overwrite their edge
+            # samples with the one-shot's exact stream-edge patches. The
+            # whole chunk is ONE jitted program per (head, tail) role:
+            # jit dispatch is ASYNC (the depth-p prefetch driver's overlap
+            # lever; an eager shard_map call blocks on CPU hosts), and the
+            # in-jit patches partition over channels exactly like the
+            # one-shot's in-mesh patches (multihost-safe: no host fetch).
+            mode = self._mode
+            n, hop = self.cfg.frame_size, self.cfg.hop_size
+            edge = n - hop
+            s = mid.shape[1]
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if self._jit_blocked is None:
+                self._jit_blocked = _jit_mesh_rt(
+                    self.cfg, self.mesh, self.spectral_fn
+                )
+            ext_g = jax.device_put(
+                ext,
+                NamedSharding(
+                    self.mesh, PartitionSpec(CHANNEL_AXIS, TIME_AXIS)
+                ),
+            )
+            y = self._jit_blocked(ext_g)
+            if self._first or is_tail:
+                # Stream-edge patches as STANDALONE jitted ops on a local
+                # region (NOT folded into the big mesh program: fusion
+                # there lowers the tiny patch matmul differently, 1 ULP
+                # off the one-shot's in-mesh patch). The values are
+                # replicated to a global array so the eager .at[].set
+                # works on multihost meshes too.
+                from ..fft.matmul_backend import blocked_patch_span
+
+                span_p = blocked_patch_span(n, hop)
+                rep = NamedSharding(
+                    self.mesh, PartitionSpec(CHANNEL_AXIS, None)
+                )
+                if self._first:
+                    p = _stream_edge_patch(
+                        jnp.asarray(ext[:, l_ctx : l_ctx + span_p]),
+                        jnp.asarray(mode["head_norm"]), self.cfg,
+                        mode["rb"], "head",
+                    )
+                    p = jax.device_put(np.asarray(p), rep)
+                    y = y.at[:, l_ctx : l_ctx + edge].set(p)
+                if is_tail:
+                    end = l_ctx + s
+                    p = _stream_edge_patch(
+                        jnp.asarray(ext[:, end - span_p : end]),
+                        jnp.asarray(mode["tail_norm"]), self.cfg,
+                        mode["rb"], "tail",
+                    )
+                    p = jax.device_put(np.asarray(p), rep)
+                    y = y.at[:, end - edge : end].set(p)
+            self._first = False
+            return y[:, l_ctx : l_ctx + s]
         y = sharded_round_trip(
             jnp.asarray(ext), self.cfg, self.mesh, self.spectral_fn,
             valid_len=l_ctx + valid_from_mid,
             valid_start=l_ctx if self._first else 0,
-            # Middle chunks satisfy the blocked gates but edge chunks
-            # never do: one formulation for every chunk keeps the
-            # chunk-vs-one-shot bit-exactness invariant.
+            # Fallback (non-per-bin fns, unaligned shapes): the masked
+            # frame formulation — one formulation for every chunk keeps
+            # the chunk-vs-one-shot bit-exactness invariant.
             allow_blocked=False,
         )
         self._first = False
@@ -152,6 +286,10 @@ class ShardedStreamer:
                     f"with {self._s}//{self._n_time} >= frame_size "
                     f"({self.cfg.frame_size})"
                 )
+            if self.allow_blocked:
+                self._mode = _blocked_stream_mode(
+                    self.cfg, self.mesh, self.spectral_fn, self._s
+                )
             self._tail = np.zeros_like(chunk)
         elif chunk.shape[1] != self._s:
             raise ValueError(
@@ -174,7 +312,8 @@ class ShardedStreamer:
         if self._prev is None:
             return None
         out = self._process(
-            self._tail, self._prev, np.zeros_like(self._prev), self._s
+            self._tail, self._prev, np.zeros_like(self._prev), self._s,
+            is_tail=True,
         )
         if force:
             out = np.asarray(out)
@@ -199,6 +338,13 @@ class ShardedStreamer:
             st["tail"], np.float32)
         self._first = bool(st["first"])
         self._s = None if st["s"] is None else int(st["s"])
+        self._mode = (
+            _blocked_stream_mode(
+                self.cfg, self.mesh, self.spectral_fn, self._s
+            )
+            if self.allow_blocked and self._s is not None
+            else None
+        )
 
 
 def sharded_stream_iter(

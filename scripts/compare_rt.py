@@ -56,6 +56,8 @@ def build_chain(fn, k):
 
 def main() -> None:
     n, hop = 1024, 256
+    if "--nhop" in sys.argv:  # e.g. --nhop 256,64 (r5 small-hop gate work)
+        n, hop = map(int, sys.argv[sys.argv.index("--nhop") + 1].split(","))
     seconds = 60
     if "--seconds" in sys.argv:
         seconds = int(sys.argv[sys.argv.index("--seconds") + 1])
@@ -189,6 +191,44 @@ def main() -> None:
 
         return fn
 
+    def blocked_stream_g(k_chunks):
+        # r5: the chunked BLOCKED stream (halo-extended segs, scan of pure
+        # hop-block chunk matmuls — the BlockedChunkStreamer's device
+        # program) ranked against the one-shot blocked kernel in the SAME
+        # windows: quantifies what chunking costs on top of the headline.
+        from crlot_tpu.core.types import FftBackend
+        from crlot_tpu.fft.matmul_backend import hopblock_apply
+        from crlot_tpu.streaming_pipeline import (
+            _blocked_stream_consts,
+            _resolve_blocked_per_bin,
+        )
+
+        cfgb = StftConfig(
+            frame_size=n, hop_size=hop, center=False,
+            fft_backend=FftBackend.MATMUL,
+        )
+        rb = _resolve_blocked_per_bin(cfgb, None)
+        c = _blocked_stream_consts(cfgb, rb)
+        gh, edge, rctx = c["gh"], c["edge"], c["right_ctx"]
+        chunk = (total // k_chunks // gh) * gh
+        span = edge + chunk + rctx
+        kern = jnp.asarray(c["kern"])
+
+        def fn(s):
+            sp = jnp.pad(s[: chunk * k_chunks], (edge, rctx))
+            segs = jnp.stack([
+                jax.lax.dynamic_slice(sp, (i * chunk,), (span,))
+                for i in range(k_chunks)
+            ])
+
+            def step(cr, seg):
+                return cr, hopblock_apply(seg, kern, gh, chunk, 0, prec)
+
+            _, ys = jax.lax.scan(step, jnp.float32(0), segs)
+            return ys.reshape(-1)
+
+        return fn
+
     def blocked_id_nf(s):
         # Norm-folded blocked identity: 1/COLA-norm folded into the kernel
         # at f64 design time — no norm read, no division pass over the
@@ -279,7 +319,11 @@ def main() -> None:
         "tiled_eq": tiled_eq,
         "blocked2_id": blocked_id_g(2),
         "blocked3_id": blocked_id_g(3),
+        "blocked6_id": blocked_id_g(6),
+        "blocked10_id": blocked_id_g(10),
         "blocked2_id_nf": blocked_id_nf,
+        "blocked_stream4": blocked_stream_g(4),
+        "blocked_stream8": blocked_stream_g(8),
         "split2_tiled": split2_tiled,
         "xla_tiled_jnp_ola": tiled_jnp_ola,
         "fullfused": fullfused,

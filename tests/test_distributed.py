@@ -90,7 +90,8 @@ def test_mesh_helpers():
 
 
 @pytest.mark.slow
-def test_dryrun_hook():
+def test_dryrun_hook(monkeypatch):
+    monkeypatch.setenv("CRLOT_DRYRUN_SCALE", "small")
     # The full north-star dryrun (stream + checkpoint + HLO accounting) on
     # two mesh shapes; the 8-device variant also runs in the fast lane via
     # test_graft_entry.py::test_dryrun_multichip_8.
@@ -458,11 +459,11 @@ def test_sharded_blocked_falls_back_when_unaligned():
 
 
 def test_stream_matches_oneshot_under_matmul_backend():
-    """Review r3 finding: with the MATMUL backend (the TPU AUTO pick) the
-    one-shot identity engages the blocked path while the chunked stream
-    always disables it — comparisons must match formulations explicitly
-    (this is the north-star dryrun's invariant, exercised here under the
-    backend where it originally broke)."""
+    """Formulation-consistent chunk-vs-one-shot bit-exactness under the
+    MATMUL backend (the TPU AUTO pick), BOTH ways since r5: the default
+    streamer runs the BLOCKED formulation and must bit-match the blocked
+    one-shot (the r4 verdict's top ask); allow_blocked=False runs the
+    masked frame formulation and must bit-match the masked one-shot."""
     from crlot_tpu.core.types import FftBackend
     from crlot_tpu.distributed.stream import ShardedStreamer
 
@@ -473,18 +474,64 @@ def test_stream_matches_oneshot_under_matmul_backend():
     mesh = make_mesh(channel=2, time=4)
     s = 4 * 1024
     x = _sig(2, 3 * s, seed=41)
-    st = ShardedStreamer(cfg, mesh)
-    outs = [st.feed(x[:, i * s : (i + 1) * s]) for i in range(3)]
-    outs.append(st.finish())
-    y_stream = np.concatenate([o for o in outs if o is not None], axis=1)
+
+    def stream(**kw):
+        st = ShardedStreamer(cfg, mesh, **kw)
+        outs = [st.feed(x[:, i * s : (i + 1) * s]) for i in range(3)]
+        outs.append(st.finish())
+        assert (st._mode is not None) == kw.get("allow_blocked", True)
+        return np.concatenate([o for o in outs if o is not None], axis=1)
+
+    y_blk = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh))
+    np.testing.assert_array_equal(stream(), y_blk)
     y_once = np.asarray(sharded_round_trip(
         jnp.asarray(x), cfg, mesh, allow_blocked=False))
-    np.testing.assert_array_equal(y_stream, y_once)
-    # and the unrestricted one-shot takes the different (blocked) path
-    y_blk = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh))
-    assert not np.array_equal(y_blk, y_once)  # formulations differ...
+    np.testing.assert_array_equal(stream(allow_blocked=False), y_once)
+    # the two formulations differ bitwise but agree to float tolerance
+    assert not np.array_equal(y_blk, y_once)
     interior = slice(512, 3 * s - 512)
-    assert snr_db(y_once[:, interior], y_blk[:, interior]) > 80  # ...mildly
+    assert snr_db(y_once[:, interior], y_blk[:, interior]) > 80
+
+
+def test_blocked_stream_eq_and_checkpoint_mesh():
+    """Blocked mesh streamer with a per-bin EQ: head/tail patch regions are
+    BIT-exact vs the blocked one-shot (mesh-independent patch op shapes);
+    interior within the CPU batch-order ULP caveat (MXU bit-exact, gated
+    on-device by the bench suite). Checkpoint resume mid-stream must be
+    bit-identical to the unbroken blocked stream."""
+    import crlot_tpu.spectral as sp
+    from crlot_tpu.core.types import FftBackend
+    from crlot_tpu.distributed.stream import ShardedStreamer
+
+    cfg = StftConfig(
+        frame_size=512, hop_size=128, center=False,
+        fft_backend=FftBackend.MATMUL,
+    )
+    eq = sp.band_gain([3000.0], [1.0, 0.4], 48000, 512)
+    mesh = make_mesh(channel=2, time=4)
+    s = 4 * 1024
+    x = _sig(2, 4 * s, seed=43)
+    st = ShardedStreamer(cfg, mesh, eq)
+    outs = [st.feed(x[:, i * s : (i + 1) * s]) for i in range(4)]
+    outs.append(st.finish())
+    assert st._mode is not None
+    y = np.concatenate([o for o in outs if o is not None], axis=1)
+    y1 = np.asarray(sharded_round_trip(jnp.asarray(x), cfg, mesh, eq))
+    edge = cfg.frame_size - cfg.hop_size
+    np.testing.assert_array_equal(y[:, :edge], y1[:, :edge])
+    np.testing.assert_array_equal(y[:, -edge:], y1[:, -edge:])
+    np.testing.assert_allclose(y, y1, rtol=0, atol=2e-6)
+
+    st2 = ShardedStreamer(cfg, mesh, eq)
+    outs2 = [st2.feed(x[:, i * s : (i + 1) * s]) for i in range(2)]
+    saved = st2.state()
+    st3 = ShardedStreamer(cfg, mesh, eq)
+    st3.load_state(saved)
+    assert st3._mode is not None  # restored checkpoints stay blocked
+    outs2 += [st3.feed(x[:, i * s : (i + 1) * s]) for i in range(2, 4)]
+    outs2.append(st3.finish())
+    y2 = np.concatenate([o for o in outs2 if o is not None], axis=1)
+    np.testing.assert_array_equal(y2, y)
 
 
 def test_streamer_feed_after_finish_raises():

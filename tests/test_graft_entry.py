@@ -23,7 +23,11 @@ def test_entry_compiles_and_runs():
     assert snr_db(np.asarray(args[0]), np.asarray(out)) > 60.0
 
 
-def test_dryrun_multichip_8():
+def test_dryrun_multichip_8(monkeypatch):
+    # Small config-5 scale leg: the full 128-ch x 1-min shape (~2.5 min on
+    # this CPU) is exercised by the driver run and the artifact
+    # generation; CI checks the mechanism.
+    monkeypatch.setenv("CRLOT_DRYRUN_SCALE", "small")
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
