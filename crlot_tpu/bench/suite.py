@@ -1125,6 +1125,34 @@ def main(argv=None) -> None:
                             _partial=f"nan_retry:{nm}")
                 with open(args.out, "w") as f:
                     f.write(json.dumps(snap) + "\n")
+    # The NaN retry fills individual cells but does not re-derive the
+    # best-launch-variant headline (a retry can fill the chain-differenced
+    # scan cell AFTER the in-section merge already ran) — recompute it.
+    _variant_cells = {
+        "per-chunk dispatch loop":
+            "stream_sustained_device_resident_dispatch_gsamples_per_s",
+        "bigchunk dispatch loop":
+            "stream_sustained_device_resident_bigchunk_gsamples_per_s",
+        "scan-over-chunks one-program":
+            "stream_sustained_device_resident_scan_gsamples_per_s",
+        "scan-over-chunks one-program (chain-differenced device rate)":
+            "stream_sustained_device_resident_scan_chained_gsamples_per_s",
+    }
+    _finite_v = {
+        nm: results[k] for nm, k in _variant_cells.items()
+        if isinstance(results.get(k), (int, float))
+        and results[k] == results[k]
+    }
+    if _finite_v:
+        _best_nm = max(_finite_v, key=lambda nm: _finite_v[nm])
+        results["stream_sustained_device_resident_gsamples_per_s"] = (
+            _finite_v[_best_nm]
+        )
+        results["stream_device_resident_formulation"] = (
+            "blocked hop-block Toeplitz (BlockedChunkStreamer); "
+            f"best launch variant: {_best_nm}"
+        )
+
     leftover = _nan_keys()
     if leftover:
         results["_nan_annotations"] = {
