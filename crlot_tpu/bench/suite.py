@@ -841,6 +841,59 @@ def bench_streaming(results: Dict[str, float]) -> None:
         )
     del ys_b, outs_blk
 
+    # Resident-ring UNROLLED variant (r5): production keeps the stream in
+    # ONE contiguous HBM buffer (the prefetcher ring); chunk k's
+    # halo-extended span is then a contiguous dynamic-slice, so every
+    # hop-block term stays a zero-copy shifted view feeding the dot.
+    # Measured on-chip (r5 probes, adjacent windows): stacked-seg scan
+    # 3.2 G / stacked batched 7.0 G / contiguous lax.scan 4.5 G — the
+    # scan's per-step slice materializes copies and defeats the
+    # shifted-view fusion — vs contiguous UNROLLED 13.2 G, the one-shot
+    # tier (one-shot 10.2-16.3 G in the same windows).
+    x_ext_res = jax.device_put(jnp.asarray(x_pad))
+
+    @jax.jit
+    def ring_unrolled(v):
+        return jnp.stack([
+            hopblock_apply(
+                jax.lax.dynamic_slice(
+                    v, (k * chunk_samples,), (span_b,)
+                ),
+                kern_b, gh_b, chunk_samples, 0, prec_b,
+            )
+            for k in range(n_chunks)
+        ])
+
+    ys_r = ring_unrolled(x_ext_res)
+    jax.block_until_ready(ys_r)
+    # Same halo-extended chunk rows as the dispatch-loop streamer: the
+    # middle chunk must be BIT-identical to the streamer's.
+    if n_chunks >= 3:
+        results["stream_blocked_ring_vs_dispatch_bitexact"] = int(
+            np.array_equal(np.asarray(ys_r[1]), mid_disp)
+        )
+        assert results["stream_blocked_ring_vs_dispatch_bitexact"], (
+            "ring-unrolled diverged from the dispatch-loop streamer"
+        )
+    del ys_r
+    t0 = time.time()
+    ys_r2 = ring_unrolled(x_ext_res)
+    jax.block_until_ready(ys_r2)
+    wall_ring = time.time() - t0
+    del ys_r2
+    results["stream_sustained_device_resident_ring_gsamples_per_s"] = (
+        round(total / wall_ring / 1e9, 4)
+    )
+    sec_ring = _rt_time_capped(ring_unrolled, x_ext_res, n, hop,
+                               k_small=2, k_big=6)
+    results[
+        "stream_sustained_device_resident_ring_chained_gsamples_per_s"
+    ] = (
+        round(total / sec_ring / 1e9, 4)
+        if sec_ring == sec_ring and sec_ring > 0
+        else float("nan")
+    )
+
     # The single-dispatch wall above includes one ~25 ms tunnel round-trip,
     # which caps ANY one-call measurement near 1 G for this stream length
     # (28.8 M samples is ~2 ms of device time at headline rate) regardless
@@ -882,6 +935,13 @@ def bench_streaming(results: Dict[str, float]) -> None:
         "scan-over-chunks one-program (chain-differenced device rate)":
             results.get(
                 "stream_sustained_device_resident_scan_chained_gsamples_per_s"
+            ),
+        "resident-ring unrolled one-program": results.get(
+            "stream_sustained_device_resident_ring_gsamples_per_s"
+        ),
+        "resident-ring unrolled (chain-differenced device rate)":
+            results.get(
+                "stream_sustained_device_resident_ring_chained_gsamples_per_s"
             ),
     }
     finite = {
@@ -1137,6 +1197,10 @@ def main(argv=None) -> None:
             "stream_sustained_device_resident_scan_gsamples_per_s",
         "scan-over-chunks one-program (chain-differenced device rate)":
             "stream_sustained_device_resident_scan_chained_gsamples_per_s",
+        "resident-ring unrolled one-program":
+            "stream_sustained_device_resident_ring_gsamples_per_s",
+        "resident-ring unrolled (chain-differenced device rate)":
+            "stream_sustained_device_resident_ring_chained_gsamples_per_s",
     }
     _finite_v = {
         nm: results[k] for nm, k in _variant_cells.items()
