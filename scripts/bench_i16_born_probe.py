@@ -173,9 +173,10 @@ def main() -> None:
     for name in ("i16_f32_blocked", "i16_i8x1_blocked", "i16_i8x2_blocked"):
         y = np.asarray(jax.jit(variants[name])(xj)).reshape(-1)[:total]
         err = y[edge:-edge] - ref[edge:-edge]
-        snr = 10 * np.log10(
-            np.sum(ref[edge:-edge] ** 2) / max(np.sum(err ** 2), 1e-30)
-        )
+        snr = float(10 * np.log10(
+            np.sum(ref[edge:-edge].astype(np.float64) ** 2)
+            / max(float(np.sum(err.astype(np.float64) ** 2)), 1e-30)
+        ))
         print(json.dumps({"variant": name, "interior_snr_db": round(snr, 1)}),
               flush=True)
 
