@@ -184,7 +184,7 @@ def main() -> None:
     for name, fn in variants.items():
         chains[name] = (_chain(fn, K_SMALL), _chain(fn, K_BIG))
         for ch in chains[name]:
-            float(ch(jnp.int16(0), xj))
+            float(ch(jnp.float32(0), xj))
     print(json.dumps({"compiled": list(chains)}), flush=True)
 
     t = {name: ([], []) for name in chains}
@@ -192,7 +192,7 @@ def main() -> None:
         for name, (cs, cb) in chains.items():
             for idx, ch in ((0, cs), (1, cb)):
                 t0 = time.perf_counter()
-                float(ch(jnp.int16(0), xj))
+                float(ch(jnp.float32(0), xj))
                 t[name][idx].append(time.perf_counter() - t0)
     for name, (ts, tb) in t.items():
         diff = min(tb) - min(ts)
