@@ -94,6 +94,7 @@ from .iir import (
 )
 from .psd import coherence, welch_freqs, welch_psd
 from .streaming_pipeline import process_wav_file, streaming_round_trip
+from .wire import I16BlockedStreamer, i16_round_trip
 from .vocoder import pitch_shift, time_stretch
 
 from . import (  # noqa: E402,F401

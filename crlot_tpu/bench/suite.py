@@ -782,6 +782,66 @@ def bench_streaming(results: Dict[str, float]) -> None:
         "blocked stream diverged from the blocked one-shot"
     )
 
+    # --- born-int16 integer-tier device-resident stream (r5 verdict item
+    # 8 -> production wiring, crlot_tpu/wire.py): wire chunks are born
+    # int16 in HBM and the int8-limb blocked kernel never dequantizes
+    # (probe: 37.8 G single-limb vs 14.4 G f32-dequant in one full-rate
+    # window, DESIGN.md r5 postscript). int8x2 is the accuracy-
+    # conservative tier; int8x1 is the identity throughput ceiling (the
+    # int16 wire noise floor dominates both, 95.4 dB).
+    from ..wire import I16BlockedStreamer
+
+    chunks_i16_dev = [
+        jax.device_put(
+            x_i16[k * chunk_samples : (k + 1) * chunk_samples]
+        )
+        for k in range(n_chunks)
+    ]
+    for c_ in chunks_i16_dev:
+        c_.block_until_ready()
+
+    @jax.jit
+    def _i16_snr_terms(a_i16, b_f32):
+        a = a_i16.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        e = a - b_f32
+        return jnp.sum(e * e), jnp.sum(b_f32 * b_f32)
+
+    outs_i16_by_tier = {}
+    for tier in ("int8x2", "int8x1"):
+        def run_i16_stream(tier=tier):
+            st = I16BlockedStreamer(cfg_blk, tier=tier, emit_i16=True)
+            outs = []
+            for c_ in chunks_i16_dev:
+                o = st.feed(c_, force=False)
+                if o is not None:
+                    outs.append(o)
+            outs.append(st.finish(force=False))
+            return outs
+
+        warm_i = run_i16_stream()
+        jax.block_until_ready(warm_i)
+        del warm_i
+        t0 = time.time()
+        outs_i = run_i16_stream()
+        jax.block_until_ready(outs_i)
+        wall_i = time.time() - t0
+        results[
+            f"stream_sustained_device_resident_i16_{tier}_gsamples_per_s"
+        ] = round(total / wall_i / 1e9, 4)
+        outs_i16_by_tier[tier] = outs_i
+    # Quality gate next to the speed number: int8x2 i16-egress output vs
+    # the f32 blocked streamer's chunks (includes the egress requant, so
+    # the wire floor bounds it; device-side reduction, scalar readback).
+    err_sum = ref_sum = 0.0
+    for o_i, o_f in zip(outs_i16_by_tier["int8x2"], outs_blk):
+        e2, r2 = _i16_snr_terms(o_i, o_f)
+        err_sum += float(e2)
+        ref_sum += float(r2)
+    results["stream_i16_int8x2_vs_f32_snr_db"] = round(
+        float(10 * np.log10(max(ref_sum, 1e-300) / max(err_sum, 1e-300))), 1
+    )
+    del outs_i16_by_tier, chunks_i16_dev
+
     # --- BLOCKED scan-over-chunks one-program variant: halo-extended segs
     # pre-staged in HBM (the prefetcher-ring production shape), the whole
     # stream as ONE dispatch of a lax.scan whose step is the pure
