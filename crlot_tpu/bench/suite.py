@@ -148,8 +148,13 @@ def bench_e2e(results: Dict[str, float]) -> None:
         x = rng.uniform(-0.9, 0.9, seconds * sr).astype(np.float32)
         y = jax.jit(lambda s: round_trip(s, cfg))(x)
         snr = snr_db(np.asarray(x), np.asarray(y))
+        # k_big 88: at full rate a 16 s pass is ~47 us of device time at
+        # hop 256, so the default 10-pass chain difference (~0.5 ms) sat
+        # inside minima jitter and the plausibility cap NaNed the h256
+        # cell in the r4/r5 artifacts; 80 passes give a ~3.8 ms delta.
         sec = _rt_time_capped(
-            lambda s: round_trip(s, cfg), x, 1024, hop
+            lambda s: round_trip(s, cfg), x, 1024, hop,
+            k_small=8, k_big=88,
         ) / seconds
         results[f"e2e_1s48k_n1024_h{hop}_ms"] = round(sec * 1e3, 3)
         results[f"e2e_1s48k_n1024_h{hop}_rtf"] = round(1.0 / sec, 1)
@@ -239,7 +244,16 @@ def bench_multichannel(results: Dict[str, float]) -> None:
     cfg = StftConfig(frame_size=1024, hop_size=256, center=False)
     rng = np.random.default_rng(4)
     x = rng.uniform(-0.9, 0.9, (64, 48000)).astype(np.float32)
-    sec = _rt_time_capped(lambda s: round_trip(s, cfg), x, 1024, 256)
+    # Long chains (k_big 44): at full rate this workload is ~190 us of
+    # device time per pass, so the default 10-pass chain difference
+    # (~1.9 ms) sits inside the tunnel's minima jitter and the
+    # plausibility cap NaNed the cell in EVERY r4/r5 artifact; 40 passes
+    # give a ~7.6 ms difference the guard can trust (CLAUDE.md timing
+    # rule: sub-ms stages need k_big ~40+).
+    sec = _rt_time_capped(
+        lambda s: round_trip(s, cfg), x, 1024, 256,
+        k_small=4, k_big=44,
+    )
     total = 64 * 48000
     results["mc64_1s48k_ms"] = round(sec * 1e3, 3)
     results["mc64_msamples_per_s"] = round(total / sec / 1e6, 1)
@@ -247,7 +261,8 @@ def bench_multichannel(results: Dict[str, float]) -> None:
     taps = taps / taps.sum()
     fir = per_bin_filter(fir_frequency_response(taps, 1024))
     sec = _rt_time_capped(
-        lambda s: round_trip(s, cfg, spectral_fn=fir), x, 1024, 256
+        lambda s: round_trip(s, cfg, spectral_fn=fir), x, 1024, 256,
+        k_small=4, k_big=44,
     )
     results["mc64_fir_1s48k_ms"] = round(sec * 1e3, 3)
     results["mc64_fir_msamples_per_s"] = round(total / sec / 1e6, 1)
